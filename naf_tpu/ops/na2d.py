@@ -1,0 +1,98 @@
+"""Pure-JAX 2-D neighborhood attention (oracle + XLA fallback path).
+
+Two entry points:
+
+- :func:`na2d`: dense dilated neighborhood attention with exact natten
+  semantics (the reference's device kernel, src/layers/attentions.py:16-29,72).
+  Q/K/V all live on the same (H, W) grid. Used as the numerical oracle for
+  the fused Pallas kernel and for `return_weights` introspection parity
+  (reference notebooks/attention_maps.ipynb capability).
+
+- :func:`cross_scale_na2d`: the NAF-specific composition — K/V live on a
+  low-res (h, w) grid; the reference nearest-exact-upsamples them to (H, W)
+  and runs na2d with dilation (H//h, W//w) (src/layers/attentions.py:48-61).
+  We compose the two index maps and gather straight from the LR grid instead,
+  which never materializes the upsampled K/V. Identical outputs.
+
+Layouts are TPU-native channels-last: Q is (B, H, W, heads, d), K/V are
+(B, h, w, heads, d). Softmax/logits accumulate in float32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from naf_tpu.ops.window import cross_scale_lr_indices, na_gather_indices
+
+__all__ = ["na2d", "cross_scale_na2d"]
+
+
+def _na2d_from_indices(q, k, v, idx_h, idx_w, scale, return_weights):
+    """Shared core: attend each query (i, j) to k[idx_h[i,t], idx_w[j,s]]."""
+    idx_h = jnp.asarray(idx_h)
+    idx_w = jnp.asarray(idx_w)
+    qf = q.astype(jnp.float32) * jnp.float32(scale)
+
+    # Gather K/V windows: (B, H, kh, W, kw, n, d)
+    kg = jnp.take(k, idx_h, axis=1)
+    kg = jnp.take(kg, idx_w, axis=3)
+    vg = jnp.take(v, idx_h, axis=1)
+    vg = jnp.take(vg, idx_w, axis=3)
+
+    logits = jnp.einsum(
+        "bijnd,bitjsnd->bnijts", qf, kg.astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    b, n, h, w, kh, kw = logits.shape
+    flat = logits.reshape(b, n, h, w, kh * kw)
+    weights = jax.nn.softmax(flat, axis=-1).reshape(b, n, h, w, kh, kw)
+    out = jnp.einsum(
+        "bnijts,bitjsnd->bijnd", weights, vg.astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    ).astype(q.dtype)
+    if return_weights:
+        # Reference returns the *scaled pre-softmax* scores, shape
+        # (B, heads, H, W, k*k) (src/layers/attentions.py:20-28).
+        return out, flat
+    return out
+
+
+def na2d(q, k, v, kernel_size, dilation=(1, 1), scale=None, return_weights=False):
+    """Dense dilated 2-D neighborhood attention (natten semantics).
+
+    Args:
+      q, k, v: (B, H, W, heads, d) arrays on the same spatial grid.
+      kernel_size: int or (kh, kw), odd.
+      dilation: int or (dh, dw).
+      scale: logit scale; defaults to d**-0.5 (natten default).
+    """
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    dh, dw = (dilation, dilation) if isinstance(dilation, int) else dilation
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    h, w = q.shape[1], q.shape[2]
+    idx_h = na_gather_indices(h, kh, dh)
+    idx_w = na_gather_indices(w, kw, dw)
+    return _na2d_from_indices(q, k, v, idx_h, idx_w, scale, return_weights)
+
+
+def cross_scale_na2d(q, k, v, kernel_size, scale=None, return_weights=False):
+    """Cross-scale neighborhood attention: HR queries over LR keys/values.
+
+    Equivalent to nearest-exact upsampling K/V from (h, w) to Q's (H, W) and
+    running :func:`na2d` with dilation (H//h, W//w) — the reference
+    CrossAttention data path — but gathers windows directly from the LR grid.
+
+    Args:
+      q: (B, H, W, heads, d); k, v: (B, h, w, heads, d).
+    """
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    hq, wq = q.shape[1], q.shape[2]
+    hk, wk = k.shape[1], k.shape[2]
+    idx_h = cross_scale_lr_indices(hq, hk, kh)
+    idx_w = cross_scale_lr_indices(wq, wk, kw)
+    return _na2d_from_indices(q, k, v, idx_h, idx_w, scale, return_weights)
