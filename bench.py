@@ -1,0 +1,84 @@
+"""Benchmark entry point — prints ONE JSON line for the driver.
+
+Headline metric: NAF forward FPS at 448x448 output (lr 28x28, embed dim 384,
+ratio 16) — the reference's default benchmark config (test/test_utils.py:16-25),
+where the A100-40GB reference measures 56.24 ms => 17.78 FPS
+(test/test_results.json:243-256). vs_baseline is our FPS / reference FPS.
+
+Extra fields: 2048^2 max-ratio config FPS (reference README reports ~18 FPS at
+intermediate resolutions and 2K as max size; north-star asks >= 3x at 2048^2),
+and the bare fused-NA kernel time at the default config.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timeit(fn, *args, iters=15):
+    """Per-call seconds via chained on-device loop (tunnel-safe)."""
+    from naf_tpu.utils import device_time_ms
+
+    return device_time_ms(fn, *args, iters=iters) / 1e3
+
+
+def main():
+    from naf_tpu.api import load_naf_params
+    from naf_tpu.kernels.na2d_fused import cross_scale_na2d_fused
+
+    dtype = jnp.bfloat16
+    rng = np.random.RandomState(0)
+
+    model, params = load_naf_params()  # reference defaults: dim 256, k 9
+    params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    def fwd(params, image, feats, out_hw, band_rows=None):
+        return model.apply(
+            {"params": params}, image, feats, out_hw, band_rows=band_rows
+        )
+
+    results = {}
+
+    # Headline: 448^2 out, 28^2 lr, dim 384 (reference default sweep point).
+    image = jnp.asarray(rng.randn(1, 448, 448, 3), dtype)
+    feats = jnp.asarray(rng.randn(1, 28, 28, 384), dtype)
+    f = lambda p, im, ft: fwd(p, im, ft, (448, 448))
+    t448 = _timeit(f, params, image, feats)
+    results["fps_448"] = 1.0 / t448
+
+    # Max-ratio north star: 2048^2 out from 128^2 lr (ratio 16).
+    image2 = jnp.asarray(rng.randn(1, 2048, 2048, 3), dtype)
+    feats2 = jnp.asarray(rng.randn(1, 128, 128, 384), dtype)
+    f2 = lambda p, im, ft: fwd(p, im, ft, (2048, 2048), band_rows=512)
+    t2048 = _timeit(f2, params, image2, feats2, iters=6)
+    results["fps_2048"] = 1.0 / t2048
+
+    # Bare fused NA kernel at the default config.
+    q = jnp.asarray(rng.randn(1, 448, 448, 4, 64), dtype)
+    k = jnp.asarray(rng.randn(1, 28, 28, 4, 64), dtype)
+    v = jnp.asarray(rng.randn(1, 28, 28, 4, 96), dtype)
+    fk = lambda q, k, v: cross_scale_na2d_fused(q, k, v, 9)
+    results["na_kernel_ms_448"] = _timeit(fk, q, k, v) * 1e3
+
+    ref_fps = 1000.0 / 56.24  # A100 reference, test_results.json:243-256
+    print(
+        json.dumps(
+            {
+                "metric": "naf_fwd_fps_448_r16_dim384",
+                "value": round(results["fps_448"], 2),
+                "unit": "fps",
+                "vs_baseline": round(results["fps_448"] / ref_fps, 2),
+                "fps_2048_r16": round(results["fps_2048"], 2),
+                "na_kernel_ms_448": round(results["na_kernel_ms_448"], 3),
+                "device": str(jax.devices()[0]),
+                "dtype": "bfloat16",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,3 +21,5 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+from naf_tpu.api import NAFUpsampler, load_naf_params, naf  # noqa: F401

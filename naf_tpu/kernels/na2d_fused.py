@@ -1,0 +1,390 @@
+"""Fused cross-scale neighborhood attention — Pallas TPU kernel.
+
+Replaces the natten CUDA dependency of the reference (src/layers/
+attentions.py:69-72). The reference nearest-exact-upsamples K/V to the output
+resolution and runs dilated NA; for exact integer ratios r = H/h this is
+equivalent to each low-res *cell* (r x r queries) attending a k x k window of
+LR cells starting at clamp(c - k//2, 0, l - k) per axis (proof: tests/
+test_window.py::test_cross_scale_exact_ratio_collapses_to_lr_window).
+
+Two-stage design:
+
+1. An XLA gather pass assembles, for every (BCh x BCw) cell block, the union
+   K/V tile of its windows: (BCh+k-1) x (BCw+k-1) LR cells. LR grids are
+   small (that is NAF's premise), so this costs one pass over a few tens of
+   MB — while the big arrays (Q, out, and the reference's upsampled K/V, an
+   O(H*W*dim) memory tax) are never gathered or materialized at HR.
+
+2. The Pallas kernel runs one program per (batch, cell block), all heads
+   unrolled inside (the Q/out tiles are shared across head iterations and the
+   per-program overhead is amortized 4x):
+     logits = Q tile (BCh*r, BCw*r, d) @ K tile^T on the MXU (f32 accum)
+     + additive window mask (each query sees exactly its own k x k cells)
+     f32 softmax; out = P @ V tile on the MXU.
+   Everything is BlockSpec-pipelined — no dynamic slicing, which Mosaic
+   restricts for sub-128 lane dims like d=64.
+
+The masked-union formulation trades a small FLOP overcount
+((BC+k-1)^2 / k^2) for pure-MXU compute with zero in-kernel gathers.
+Queries are processed in row-chunks to bound the f32 logits buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cross_scale_na2d_fused", "fused_applicable", "pick_cell_blocks"]
+
+
+def _valid_bcs(r: int, l: int, kernel: int):
+    """Valid cells-per-block values along one axis: (bc*r) % 8 == 0 and the
+    (bc + k - 1) union tile fits in the LR grid."""
+    m = 8 // math.gcd(r, 8)
+    max_bc = l - kernel + 1
+    return [bc for bc in range(m, max(max_bc, m) + 1, m) if bc + kernel - 1 <= l]
+
+
+@functools.lru_cache(maxsize=512)
+def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize):
+    """Choose (bc_h, bc_w) by a simple static cost model.
+
+    Cost per program = fixed overhead + Q/out tile HBM time + MXU time with
+    lane-padded Nc; minimized over the valid bc grid under a VMEM budget.
+    """
+    cands_h = _valid_bcs(r_h, hk, kernel)
+    cands_w = _valid_bcs(r_w, wk, kernel)
+    if not cands_h or not cands_w:
+        return None
+    overhead_s = 3e-6
+    hbm_bps = 6e11
+    mxu_flops = 1.2e14 if itemsize <= 2 else 4e13
+    best, best_cost = None, None
+    for bc_h in cands_h:
+        for bc_w in cands_w:
+            bh, bw = bc_h * r_h, bc_w * r_w
+            nc = (bc_h + kernel - 1) * (bc_w + kernel - 1)
+            nc_eff = -(-nc // 128) * 128  # lane padding
+            d_eff = max(-(-d // 128) * 128, 128)
+            # VMEM: double-buffered q/out tiles + k/v tiles + logits
+            tile_bytes = bh * bw * n * (d_eff + dv) * itemsize * 2
+            logit_bytes = min(bh * bw, 4096 // max(bw // 256, 1)) * nc_eff * 4
+            kv_bytes = nc_eff * n * (d_eff + dv) * itemsize
+            if tile_bytes + logit_bytes + kv_bytes > 10 * 2 ** 20:
+                continue
+            programs = -(-hk // bc_h) * -(-wk // bc_w)
+            flops = 2 * bh * bw * n * nc_eff * (d_eff + dv)
+            bytes_moved = bh * bw * n * (d + dv) * itemsize
+            cost = programs * (
+                overhead_s + bytes_moved / hbm_bps + flops / mxu_flops
+            )
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (bc_h, bc_w), cost
+    return best
+
+
+def fused_applicable(hq, wq, hk, wk, kernel: int, n=4, d=64, dv=64, itemsize=4):
+    """Whether the fused kernel supports these shapes (else use the xla path)."""
+    if hq % hk or wq % wk:
+        return False
+    if hk < kernel or wk < kernel:
+        return False
+    r_h, r_w = hq // hk, wq // wk
+    return pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize) is not None
+
+
+@functools.lru_cache(maxsize=512)
+def _tile_origins(l: int, bc: int, kernel: int, cell0: int = 0, n_cells=None) -> np.ndarray:
+    """Union-tile origin per cell block along one axis (host-side, static).
+
+    cell0/n_cells select a band of cells (banded execution); clamping always
+    uses the full axis length l so windows match the global rule."""
+    nh = kernel // 2
+    kb = bc + kernel - 1
+    if n_cells is None:
+        n_cells = l - cell0
+    starts = cell0 + np.arange(pl.cdiv(n_cells, bc)) * bc - nh
+    return np.clip(starts, 0, l - kb)
+
+
+def _gather_union_tiles(x, bc_h, bc_w, kernel, cell0_h=0, n_cells_h=None):
+    """(B, h, w, C) -> (B, nCH, nCW, KBh*KBw, C) union tiles per cell block."""
+    _, hk, wk, _ = x.shape
+    kb_h = bc_h + kernel - 1
+    kb_w = bc_w + kernel - 1
+    rows = (
+        _tile_origins(hk, bc_h, kernel, cell0_h, n_cells_h)[:, None]
+        + np.arange(kb_h)[None, :]
+    )
+    cols = _tile_origins(wk, bc_w, kernel)[:, None] + np.arange(kb_w)[None, :]
+    t = jnp.take(x, jnp.asarray(rows.reshape(-1)), axis=1)  # (B, nCH*KBh, w, C)
+    t = jnp.take(t, jnp.asarray(cols.reshape(-1)), axis=2)  # (..., nCW*KBw, C)
+    b, _, _, c = t.shape
+    t = t.reshape(b, rows.shape[0], kb_h, cols.shape[0], kb_w, c)
+    t = jnp.transpose(t, (0, 1, 3, 2, 4, 5))
+    return t.reshape(b, rows.shape[0], cols.shape[0], kb_h * kb_w, c)
+
+
+def _kernel(
+    q_ref,  # (1, n, BH, BW, d) VMEM, head-major
+    k_ref,  # (1, 1, 1, n, Nc, d) VMEM union tile
+    v_ref,  # (1, 1, 1, n, Nc, dv) VMEM union tile
+    o_ref,  # (1, n, BH, BW, dv) VMEM
+    *,
+    kernel_size: int,
+    num_heads: int,
+    r_h: int,
+    r_w: int,
+    bc_h: int,
+    bc_w: int,
+    hk: int,
+    wk: int,
+    scale: float,
+    chunk_rows: int,
+    cell_row0: int,
+):
+    kk = kernel_size
+    nh = kk // 2
+    kb_h = bc_h + kk - 1
+    kb_w = bc_w + kk - 1
+    ci0 = cell_row0 + pl.program_id(1) * bc_h  # first (global) cell row
+    cj0 = pl.program_id(2) * bc_w
+    row0 = jnp.clip(ci0 - nh, 0, hk - kb_h)  # union tile origin (= host rule)
+    col0 = jnp.clip(cj0 - nh, 0, wk - kb_w)
+
+    bh = bc_h * r_h  # query rows in tile
+    bw = bc_w * r_w
+    d = q_ref.shape[-1]
+    dv = v_ref.shape[-1]
+    nc = kb_h * kb_w
+
+    n_chunks = bh // chunk_rows
+    cq = chunk_rows * bw  # queries per chunk
+
+    # bf16 inputs take the native MXU path (f32 accumulation regardless);
+    # f32 inputs force HIGHEST so the kernel is bit-faithful to the oracle.
+    prec_qk = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    prec_av = (
+        jax.lax.Precision.HIGHEST
+        if v_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    # Flat (C, Nc) window mask from 2-D iotas (no reshapes — Mosaic-friendly).
+    # Flat query p = (i_local, j_local); flat tile cell c = (t, s). Query cell
+    # ci attends tile rows [ws, ws+k), ws = clamp(ci - k//2, 0, hk - k) - row0.
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (cq, nc), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (cq, nc), 1)
+    i_loc = rows_i // bw
+    j_loc = rows_i - i_loc * bw
+    t_idx = cols_i // kb_w
+    s_idx = cols_i - t_idx * kb_w
+    cell_w = cj0 + j_loc // r_w
+    ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
+    ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)
+
+    def body(c, _):
+        row_start = c * chunk_rows
+        # chunk_rows is a multiple of r_h, so the chunk starts on a cell row.
+        cell_h = ci0 + c * (chunk_rows // r_h) + i_loc // r_h
+        ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
+        ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
+        bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
+
+        for h in range(num_heads):  # static unroll; q/out tiles shared
+            k_mat = k_ref[0, 0, 0, h]  # (Nc, d)
+            v_mat = v_ref[0, 0, 0, h]
+            q_mat = q_ref[0, h, pl.ds(row_start, chunk_rows), :, :].reshape(cq, d)
+            logits = jax.lax.dot_general(
+                q_mat,
+                k_mat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec_qk,
+            ) * scale + bias  # (C, Nc)
+
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+            out = jax.lax.dot_general(
+                p.astype(v_mat.dtype),
+                v_mat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec_av,
+            )
+            o_ref[0, h, pl.ds(row_start, chunk_rows), :, :] = out.reshape(
+                chunk_rows, bw, dv
+            ).astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, body, None)
+
+
+def cross_scale_na2d_fused(
+    q, k, v, kernel_size: int, scale=None, interpret=False,
+    row_cell0: int = 0, full_hq=None,
+):
+    """Fused cross-scale NA. q: (B, H, W, n, d); k: (B, h, w, n, d);
+    v: (B, h, w, n, dv). Requires exact integer ratios (H == r_h*h etc.) and
+    `fused_applicable(...)`. Returns (B, H, W, n, dv). Differentiable: the
+    backward pass runs through the XLA oracle (training-time output grids are
+    small in NAF's distillation scheme — train.py:123-127 predicts at the HR
+    *feature* resolution — so the oracle VJP is cheap there).
+
+    Banded execution: q may hold only rows [row_cell0 * r_h, ...) of a
+    full_hq-tall query grid; windows are computed against the global grid.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _fused_diff(
+        q, k, v, kernel_size, float(scale), interpret, row_cell0,
+        full_hq if full_hq is not None else q.shape[1],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_diff(q, k, v, kernel_size, scale, interpret, row_cell0, full_hq):
+    return _fused_fwd_impl(q, k, v, kernel_size, scale, interpret, row_cell0, full_hq)
+
+
+def _fused_diff_fwd(q, k, v, kernel_size, scale, interpret, row_cell0, full_hq):
+    out = _fused_fwd_impl(q, k, v, kernel_size, scale, interpret, row_cell0, full_hq)
+    return out, (q, k, v)
+
+
+def _fused_diff_bwd(kernel_size, scale, interpret, row_cell0, full_hq, res, g):
+    from naf_tpu.ops.na2d import cross_scale_na2d
+
+    q, k, v = res
+    if row_cell0 != 0 or full_hq != q.shape[1]:
+        raise NotImplementedError("banded fused NA is inference-only")
+    _, vjp = jax.vjp(
+        lambda q, k, v: cross_scale_na2d(q, k, v, kernel_size, scale=scale), q, k, v
+    )
+    return vjp(g)
+
+
+_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "scale", "interpret", "row_cell0", "full_hq"),
+)
+def _fused_fwd_impl(
+    q, k, v, kernel_size: int, scale=None, interpret=False,
+    row_cell0: int = 0, full_hq=None,
+):
+    b, hq, wq, n, d = q.shape
+    _, hk, wk, _, dv = v.shape
+    kk = kernel_size
+    full_hq = full_hq if full_hq is not None else hq
+    if kk % 2 != 1:
+        raise ValueError(f"kernel size must be odd, got {kk}")
+    r_h, r_w = full_hq // hk if hk else 0, wq // wk if wk else 0
+    itemsize = q.dtype.itemsize
+    blocks = (
+        pick_cell_blocks(r_h, r_w, hk, wk, kk, n, d, dv, itemsize)
+        if (full_hq % hk == 0 and wq % wk == 0 and hk >= kk and wk >= kk
+            and hq % r_h == 0)
+        else None
+    )
+    if blocks is None:
+        raise ValueError("shapes not supported by fused kernel; use the xla path")
+    bc_h, bc_w = blocks
+    bh, bw = bc_h * r_h, bc_w * r_w
+    band_cells = hq // r_h  # = hk when not banded
+    n_ch = pl.cdiv(band_cells, bc_h)
+    n_cw = pl.cdiv(wk, bc_w)
+    kb_h = bc_h + kk - 1
+    kb_w = bc_w + kk - 1
+    nc = kb_h * kb_w
+
+    # chunk_rows: multiple of r_h (so in-kernel cell math is exact), sized to
+    # keep the f32 logits chunk (chunk_rows * bw * Nc) around <= 2.5 MB.
+    budget_rows = max((2_500_000 // 4) // max(nc * bw, 1), 1)
+    chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
+    while bh % chunk_rows:
+        chunk_rows -= r_h
+
+    # Stage 1: union K/V tiles, (B, nCH, nCW, n, Nc, d).
+    k_tiles = _gather_union_tiles(
+        k.reshape(b, hk, wk, n * d), bc_h, bc_w, kk, row_cell0, band_cells
+    )
+    v_tiles = _gather_union_tiles(
+        v.reshape(b, hk, wk, n * dv), bc_h, bc_w, kk, row_cell0, band_cells
+    )
+    k_tiles = jnp.swapaxes(k_tiles.reshape(b, n_ch, n_cw, nc, n, d), 3, 4)
+    v_tiles = jnp.swapaxes(v_tiles.reshape(b, n_ch, n_cw, nc, n, dv), 3, 4)
+
+    # Head-major Q/out: under jit these transposes fuse into the elementwise
+    # producers/consumers (RoPE etc.); only an isolated call pays for them.
+    q_hm = jnp.transpose(q, (0, 3, 1, 2, 4))
+
+    grid = (b, n_ch, n_cw)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            kernel_size=kk,
+            num_heads=n,
+            r_h=r_h,
+            r_w=r_w,
+            bc_h=bc_h,
+            bc_w=bc_w,
+            hk=hk,
+            wk=wk,
+            scale=float(scale),
+            chunk_rows=chunk_rows,
+            cell_row0=row_cell0,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, n, bh, bw, d),
+                lambda bb, ii, jj: (bb, 0, ii, jj, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, n, nc, d),
+                lambda bb, ii, jj: (bb, ii, jj, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, n, nc, dv),
+                lambda bb, ii, jj: (bb, ii, jj, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, bh, bw, dv),
+            lambda bb, ii, jj: (bb, 0, ii, jj, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, hq, wq, dv), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * hq * wq * nc * (d + dv),
+            bytes_accessed=(
+                q.size * q.dtype.itemsize
+                + k_tiles.size * k.dtype.itemsize
+                + v_tiles.size * v.dtype.itemsize
+                + b * hq * wq * n * dv * q.dtype.itemsize
+            ),
+            transcendentals=b * n * hq * wq * nc,
+        ),
+        interpret=interpret,
+    )(q_hm, k_tiles, v_tiles)
+
+    return jnp.transpose(out, (0, 2, 3, 1, 4))

@@ -1,0 +1,107 @@
+"""On-TPU fused-kernel verification + timing (compiled, not interpret).
+
+Data is generated on device (host<->TPU transfers go through the axon tunnel
+here and must stay small); large-size checks pull back only sampled rows.
+
+Usage: python tools/tpu_kernel_check.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from naf_tpu.kernels.na2d_fused import cross_scale_na2d_fused, fused_applicable
+from naf_tpu.ops import cross_scale_na2d
+from naf_tpu.ops.window import cross_scale_lr_indices
+
+
+def make_qkv(hq, wq, hk, wk, n, d, dv, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (1, hq, wq, n, d), dtype)
+    k = jax.random.normal(ks[1], (1, hk, wk, n, d), dtype)
+    v = jax.random.normal(ks[2], (1, hk, wk, n, dv), dtype)
+    return q, k, v
+
+
+def check_small(hq, wq, hk, wk, n=2, d=16, dv=24, kk=9, tol=1e-4, seed=0):
+    assert fused_applicable(hq, wq, hk, wk, kk)
+    q, k, v = make_qkv(hq, wq, hk, wk, n, d, dv, seed=seed)
+    got = cross_scale_na2d_fused(q, k, v, kk)
+    want = cross_scale_na2d(q, k, v, kk)
+    err = float(jnp.abs(got - want).max())
+    print(f"hq={hq} wq={wq} hk={hk} wk={wk} k={kk}: max err {err:.2e}")
+    assert err < tol, err
+
+
+def spot_check(q, k, v, out, kk, rows, tol):
+    """Numpy windowed oracle on selected HR rows; pulls back only those rows."""
+    hq, hk = q.shape[1], k.shape[1]
+    wq, wk = q.shape[2], k.shape[2]
+    n, d = q.shape[3], q.shape[4]
+    scale = d ** -0.5
+    ih = cross_scale_lr_indices(hq, hk, kk)
+    iw = cross_scale_lr_indices(wq, wk, kk)
+    kn = np.asarray(k, np.float64)
+    vn = np.asarray(v, np.float64)
+    errs = []
+    for i in rows:
+        qi = np.asarray(q[:, i], np.float64)  # (B, Wq, n, d)
+        oi = np.asarray(out[:, i], np.float64)
+        kwin = kn[:, ih[i]][:, :, iw]  # (B, k, Wq, k, n, d)
+        vwin = vn[:, ih[i]][:, :, iw]
+        logits = np.einsum("bjnd,btjsnd->bjnts", qi * scale, kwin)
+        lf = logits.reshape(*logits.shape[:3], kk * kk)
+        w = np.exp(lf - lf.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        o = np.einsum("bjnts,btjsnd->bjnd", w.reshape(*lf.shape[:3], kk, kk), vwin)
+        errs.append(np.abs(o - oi).max())
+    e = max(errs)
+    print(f"  spot rows {list(rows)}: max err {e:.2e}")
+    assert e < tol, e
+
+
+def timeit(f, *args, iters=20, block_each=False):
+    from naf_tpu.utils import device_time_ms
+
+    return device_time_ms(f, *args, iters=iters)
+
+
+def main():
+    print(jax.devices())
+    check_small(48, 48, 12, 12, kk=5)
+    check_small(96, 64, 12, 16, kk=9)
+    check_small(112, 112, 28, 28, kk=9)
+    check_small(26, 26, 13, 13, kk=9)
+    check_small(64, 64, 64, 64, kk=9)
+    check_small(96, 96, 16, 16, kk=9, n=4, d=64, dv=96, seed=3)
+
+    # production config f32: 448^2 from 28^2, dim 256/4 heads, dv=96
+    q, k, v = make_qkv(448, 448, 28, 28, 4, 64, 96)
+    f = jax.jit(lambda q, k, v: cross_scale_na2d_fused(q, k, v, 9))
+    out = f(q, k, v)
+    jax.block_until_ready(out)
+    spot_check(q, k, v, out, 9, [0, 1, 7, 223, 440, 447], tol=1e-4)
+    print("448^2 r16 fused NA f32: %.3f ms" % timeit(f, q, k, v))
+
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ob = f(qb, kb, vb)
+    jax.block_until_ready(ob)
+    spot_check(qb, kb, vb, ob, 9, [0, 223, 447], tol=5e-2)
+    print("448^2 r16 fused NA bf16: %.3f ms" % timeit(f, qb, kb, vb))
+
+    # north-star config: 2048^2 from 128^2 (bf16)
+    q2, k2, v2 = make_qkv(2048, 2048, 128, 128, 4, 64, 96, dtype=jnp.bfloat16, seed=1)
+    o2 = f(q2, k2, v2)
+    jax.block_until_ready(o2)
+    spot_check(q2, k2, v2, o2, 9, [0, 1024, 2047], tol=5e-2)
+    del o2
+    print("2048^2 r16 fused NA bf16: %.3f ms" % timeit(f, q2, k2, v2, iters=8))
+
+
+if __name__ == "__main__":
+    main()
