@@ -1,0 +1,172 @@
+"""Pretrained ViT weight conversion: HF transformers / timm -> naf_tpu.ViT.
+
+Supports the checkpoint layouts that cover the reference MODEL_LIST families
+(src/backbone/vit_wrapper.py:15-40): timm VisionTransformer state dicts
+(DINO, DINOv2 via timm, MAE, SigLIP-style trunks) and HuggingFace
+Dinov2Model / Dinov2WithRegistersModel. Configs are inferred from tensor
+shapes, so converted models match without manual arch bookkeeping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Tuple
+
+import numpy as np
+
+from naf_tpu.backbones.vit import ViTConfig
+
+__all__ = ["convert_timm_vit", "convert_hf_dinov2", "vit_from_torch"]
+
+
+def _np(t):
+    return t if isinstance(t, np.ndarray) else t.detach().cpu().numpy()
+
+
+def _attn_from_qkv(qkv_w, qkv_b, proj_w, proj_b, num_heads):
+    c = qkv_w.shape[1]
+    d = c // num_heads
+    return {
+        "qkv": {
+            "kernel": qkv_w.T.reshape(c, 3, num_heads, d),
+            "bias": qkv_b.reshape(3, num_heads, d),
+        },
+        "proj": {
+            "kernel": proj_w.T.reshape(num_heads, d, c),
+            "bias": proj_b,
+        },
+    }
+
+
+def _ln(state, prefix):
+    return {"scale": _np(state[f"{prefix}.weight"]), "bias": _np(state[f"{prefix}.bias"])}
+
+
+def convert_timm_vit(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
+    """timm VisionTransformer state dict -> (flax params, config)."""
+    pe_w = _np(state["patch_embed.proj.weight"])  # (C, 3, ps, ps)
+    c, _, ps, _ = pe_w.shape
+    pos = _np(state["pos_embed"])
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in state if k.startswith("blocks.")
+    )
+    n_reg = _np(state["reg_token"]).shape[1] if "reg_token" in state else 0
+    has_cls_pos = (pos.shape[1] - n_reg) % 2 == 1  # odd => cls pos present
+    grid = int(math.isqrt(pos.shape[1] - (1 if has_cls_pos else 0)))
+    fc1 = _np(state["blocks.0.mlp.fc1.weight"])
+    cfg = ViTConfig(
+        patch_size=ps,
+        embed_dim=c,
+        depth=depth,
+        num_heads=num_heads,
+        mlp_ratio=fc1.shape[0] / c,
+        num_reg_tokens=n_reg,
+        layerscale="blocks.0.ls1.gamma" in state,
+        pos_grid=grid,
+        use_cls_pos=has_cls_pos,
+    )
+
+    params = {
+        "patch_embed": {"kernel": pe_w.transpose(2, 3, 1, 0), "bias": _np(state["patch_embed.proj.bias"])},
+        "pos_embed": pos,
+        "cls_token": _np(state["cls_token"]),
+        "norm": _ln(state, "norm"),
+    }
+    if n_reg:
+        params["reg_tokens"] = _np(state["reg_token"])
+    for i in range(depth):
+        p = f"blocks.{i}"
+        blk = {
+            "norm1": _ln(state, f"{p}.norm1"),
+            "attn": _attn_from_qkv(
+                _np(state[f"{p}.attn.qkv.weight"]),
+                _np(state[f"{p}.attn.qkv.bias"]),
+                _np(state[f"{p}.attn.proj.weight"]),
+                _np(state[f"{p}.attn.proj.bias"]),
+                num_heads,
+            ),
+            "norm2": _ln(state, f"{p}.norm2"),
+            "fc1": {"kernel": _np(state[f"{p}.mlp.fc1.weight"]).T, "bias": _np(state[f"{p}.mlp.fc1.bias"])},
+            "fc2": {"kernel": _np(state[f"{p}.mlp.fc2.weight"]).T, "bias": _np(state[f"{p}.mlp.fc2.bias"])},
+        }
+        if cfg.layerscale:
+            blk["ls1"] = _np(state[f"{p}.ls1.gamma"])
+            blk["ls2"] = _np(state[f"{p}.ls2.gamma"])
+        params[f"block{i}"] = blk
+    return params, cfg
+
+
+def convert_hf_dinov2(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
+    """HF Dinov2Model / Dinov2WithRegistersModel state dict -> (params, config)."""
+    pe_w = _np(state["embeddings.patch_embeddings.projection.weight"])
+    c, _, ps, _ = pe_w.shape
+    pos = _np(state["embeddings.position_embeddings"])
+    depth = 1 + max(
+        int(k.split(".")[2]) for k in state if k.startswith("encoder.layer.")
+    )
+    n_reg = (
+        _np(state["embeddings.register_tokens"]).shape[1]
+        if "embeddings.register_tokens" in state
+        else 0
+    )
+    grid = int(math.isqrt(pos.shape[1] - 1))
+    fc1 = _np(state["encoder.layer.0.mlp.fc1.weight"])
+    cfg = ViTConfig(
+        patch_size=ps,
+        embed_dim=c,
+        depth=depth,
+        num_heads=num_heads,
+        mlp_ratio=fc1.shape[0] / c,
+        num_reg_tokens=n_reg,
+        layerscale="encoder.layer.0.layer_scale1.lambda1" in state,
+        pos_grid=grid,
+        use_cls_pos=True,
+    )
+
+    params = {
+        "patch_embed": {
+            "kernel": pe_w.transpose(2, 3, 1, 0),
+            "bias": _np(state["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "pos_embed": pos,
+        "cls_token": _np(state["embeddings.cls_token"]),
+        "norm": _ln(state, "layernorm"),
+    }
+    if n_reg:
+        params["reg_tokens"] = _np(state["embeddings.register_tokens"])
+    d = c // num_heads
+    for i in range(depth):
+        p = f"encoder.layer.{i}"
+        qkv_w = np.concatenate(
+            [_np(state[f"{p}.attention.attention.{m}.weight"]) for m in ("query", "key", "value")],
+            axis=0,
+        )
+        qkv_b = np.concatenate(
+            [_np(state[f"{p}.attention.attention.{m}.bias"]) for m in ("query", "key", "value")]
+        )
+        blk = {
+            "norm1": _ln(state, f"{p}.norm1"),
+            "attn": _attn_from_qkv(
+                qkv_w, qkv_b,
+                _np(state[f"{p}.attention.output.dense.weight"]),
+                _np(state[f"{p}.attention.output.dense.bias"]),
+                num_heads,
+            ),
+            "norm2": _ln(state, f"{p}.norm2"),
+            "fc1": {"kernel": _np(state[f"{p}.mlp.fc1.weight"]).T, "bias": _np(state[f"{p}.mlp.fc1.bias"])},
+            "fc2": {"kernel": _np(state[f"{p}.mlp.fc2.weight"]).T, "bias": _np(state[f"{p}.mlp.fc2.bias"])},
+        }
+        if cfg.layerscale:
+            blk["ls1"] = _np(state[f"{p}.layer_scale1.lambda1"])
+            blk["ls2"] = _np(state[f"{p}.layer_scale2.lambda1"])
+        params[f"block{i}"] = blk
+    return params, cfg
+
+
+def vit_from_torch(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
+    """Auto-detect the checkpoint family and convert."""
+    if any(k.startswith("encoder.layer.") for k in state):
+        return convert_hf_dinov2(state, num_heads)
+    if any(k.startswith("blocks.") for k in state):
+        return convert_timm_vit(state, num_heads)
+    raise ValueError("unrecognized ViT checkpoint layout")

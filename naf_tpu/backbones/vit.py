@@ -1,0 +1,152 @@
+"""Flax Vision Transformer for frozen VFM feature extraction.
+
+Covers the reference's backbone contract (src/backbone/vit_wrapper.py:139-180):
+``(B, H, W, 3) normalized image -> (B, H/ps, W/ps, C)`` patch-token feature
+map from the last block, layer-normed (timm `forward_intermediates(n=1,
+norm=True, output_fmt="NCHW")` semantics, NHWC here).
+
+Architecture knobs cover the DINO / DINOv2(+registers) / MAE / CLIP-style
+families: conv patchify, cls + register tokens, learned position embeddings
+with bicubic interpolation for dynamic image sizes, pre-norm blocks with
+optional LayerScale, GELU MLP. (DINOv3's RoPE variant: see naf_tpu.nn.rope,
+planned.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["ViT", "ViTConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 14
+    # "highest" keeps float32 extraction faithful to the torch reference;
+    # bf16 inputs use the native MXU path either way.
+    precision: str = "highest"
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    num_reg_tokens: int = 0
+    layerscale: bool = True  # DINOv2: yes; DINO/MAE: no
+    ln_eps: float = 1e-6
+    pos_grid: int = 37  # position-embedding grid side at pretrain time
+    use_cls_pos: bool = True  # cls token has its own position embedding
+
+
+def _prec(name):
+    return dict(
+        highest=jax.lax.Precision.HIGHEST, default=jax.lax.Precision.DEFAULT
+    )[name]
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    precision: str = "highest"
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        d = self.dim // self.num_heads
+        prec = _prec(self.precision)
+        qkv = nn.DenseGeneral((3, self.num_heads, d), precision=prec, name="qkv")(x)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q * (d ** -0.5)
+        logits = jnp.einsum(
+            "bqnd,bknd->bnqk", q, k,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=prec)
+        return nn.DenseGeneral(self.dim, axis=(-2, -1), precision=prec, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    layerscale: bool
+    ln_eps: float
+    precision: str = "highest"
+
+    @nn.compact
+    def __call__(self, x):
+        prec = _prec(self.precision)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
+        h = Attention(self.dim, self.num_heads, self.precision, name="attn")(h)
+        if self.layerscale:
+            h = h * self.param("ls1", nn.initializers.ones, (self.dim,))
+        x = x + h
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), precision=prec, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, precision=prec, name="fc2")(h)
+        if self.layerscale:
+            h = h * self.param("ls2", nn.initializers.ones, (self.dim,))
+        return x + h
+
+
+class ViT(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) -> (B, H/ps, W/ps, C) last-block patch features."""
+        cfg = self.config
+        b, h, w, _ = x.shape
+        ps = cfg.patch_size
+        if h % ps or w % ps:
+            raise ValueError(f"image size {(h, w)} not divisible by patch {ps}")
+        gh, gw = h // ps, w // ps
+
+        x = nn.Conv(
+            cfg.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID",
+            precision=_prec(cfg.precision), name="patch_embed",
+        )(x)
+        x = x.reshape(b, gh * gw, cfg.embed_dim)
+
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, (1 if cfg.use_cls_pos else 0) + cfg.pos_grid ** 2, cfg.embed_dim),
+        )
+        cls_pos = pos[:, :1] if cfg.use_cls_pos else None
+        patch_pos = pos[:, 1:] if cfg.use_cls_pos else pos
+        if (gh, gw) != (cfg.pos_grid, cfg.pos_grid):
+            grid = patch_pos.reshape(1, cfg.pos_grid, cfg.pos_grid, cfg.embed_dim)
+            grid = jax.image.resize(
+                grid.astype(jnp.float32), (1, gh, gw, cfg.embed_dim), "bicubic"
+            ).astype(patch_pos.dtype)
+            patch_pos = grid.reshape(1, gh * gw, cfg.embed_dim)
+        x = x + patch_pos
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim))
+        cls = jnp.broadcast_to(cls, (b, 1, cfg.embed_dim))
+        if cls_pos is not None:
+            cls = cls + cls_pos
+        tokens = [cls, x]
+        if cfg.num_reg_tokens:
+            reg = self.param(
+                "reg_tokens", nn.initializers.zeros,
+                (1, cfg.num_reg_tokens, cfg.embed_dim),
+            )
+            tokens = [cls, jnp.broadcast_to(reg, (b, cfg.num_reg_tokens, cfg.embed_dim)), x]
+        x = jnp.concatenate(tokens, axis=1)
+
+        for i in range(cfg.depth):
+            x = Block(
+                cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                cfg.layerscale, cfg.ln_eps, cfg.precision, name=f"block{i}",
+            )(x)
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
+        n_prefix = 1 + cfg.num_reg_tokens
+        return x[:, n_prefix:].reshape(b, gh, gw, cfg.embed_dim)

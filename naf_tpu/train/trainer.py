@@ -1,0 +1,190 @@
+"""NAF upsampler training loop (reference train.py:30-174, TPU-native).
+
+Self-distillation: hr_feats = backbone(image); lr_feats =
+backbone(downscaled image); the model predicts hr_feats from
+(image, lr_feats) with MSE (train.py:120-137). Differences by design:
+
+- optax AdamW + jit'd train step; bf16 via a compute-dtype cast of params
+  and activations (the torch version uses autocast, train.py:120).
+- Data parallelism over the batch via jax.sharding (the reference is
+  single-GPU; SURVEY §2.10).
+- Checkpoints via orbax, saved every total/4 steps like the reference
+  (train.py:161-167) but including optimizer state so resume is exact.
+- Metrics stream to JSONL (+ stdout) instead of TensorBoard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from naf_tpu.ops.resize import resize_bilinear
+from naf_tpu.train.distill import sample_lr_size
+from naf_tpu.train.losses import mse_loss
+
+__all__ = ["TrainConfig", "train_upsampler", "make_train_step"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    train_steps: int = 25_000  # config/base.yaml:11
+    img_size: int = 512  # config/base.yaml (train img size)
+    lr: float = 2e-4  # config/optimizer/adamw.yaml
+    weight_decay: float = 1e-4
+    batch_size: int = 4  # config/dataloader/train.yaml
+    down_factor: str = "fixed"  # "fixed" (0.5) | "random" (U(0.25, 0.60))
+    use_bf16: bool = True
+    log_every: int = 100  # train.py:27 FREQ
+    ckpt_every: Optional[int] = None  # default: train_steps // 4
+    log_dir: str = "runs/naf"
+    seed: int = 0
+    data_axis: str = "data"
+
+
+def make_train_step(model, backbone_apply, tx, use_bf16: bool):
+    """Returns jit'd (params, opt_state, image_ups, image_back, lr_size) ->
+    (params, opt_state, loss). Static over lr_size (bounded set of sizes)."""
+
+    def step(params, opt_state, image_ups, image_back, lr_size, out_hw, crop_hw):
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
+        # frozen backbone targets (no_grad; train.py:123)
+        hr_feats = backbone_apply(image_back.astype(dtype))
+        lr_image = resize_bilinear(image_back, lr_size).astype(dtype)
+        lr_feats = backbone_apply(lr_image)
+        hr_feats = jax.lax.stop_gradient(hr_feats)
+        lr_feats = jax.lax.stop_gradient(lr_feats)
+
+        # model input image: min(224, 4 * hr_size) (train.py:126)
+        img_hr = resize_bilinear(image_ups, crop_hw).astype(dtype)
+
+        def loss_fn(p):
+            p_c = jax.tree.map(lambda a: a.astype(dtype), p)
+            pred = model.apply(
+                {"params": p_c}, img_hr, lr_feats, out_hw, train=True,
+                rng=jax.random.PRNGKey(0),
+            )
+            return mse_loss(pred, hr_feats)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, static_argnames=("lr_size", "out_hw", "crop_hw"))
+
+
+def train_upsampler(
+    model,
+    backbone,
+    data_iter: Iterator[np.ndarray],
+    cfg: TrainConfig,
+    params=None,
+    mesh=None,
+):
+    """Train `model` against frozen `backbone` on images from `data_iter`
+    (NHWC float [0,1], shape (B, img_size, img_size, 3)). Returns params.
+
+    `mesh`: optional jax Mesh with a `cfg.data_axis` axis for DP; params are
+    replicated, batches sharded along it.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(cfg.seed)
+    imagenet_mean = np.array([0.485, 0.456, 0.406], np.float32)
+    imagenet_std = np.array([0.229, 0.224, 0.225], np.float32)
+    bmean = np.array(backbone.config["mean"], np.float32)
+    bstd = np.array(backbone.config["std"], np.float32)
+
+    if params is None:
+        init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        init_feat = jnp.zeros((1, 16, 16, backbone.embed_dim), jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(cfg.seed), init_img, init_feat, (64, 64)
+        )["params"]
+
+    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    step_fn = make_train_step(model, backbone, tx, cfg.use_bf16)
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(cfg.data_axis))
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    metrics_path = os.path.join(cfg.log_dir, "metrics.jsonl")
+    ckpt_every = cfg.ckpt_every or max(cfg.train_steps // 4, 1)
+    ps = backbone.patch_size
+    losses = []
+    t0 = time.time()
+
+    with open(metrics_path, "a") as mf:
+        for step in range(cfg.train_steps):
+            batch = next(data_iter)  # (B, H, W, 3) in [0, 1]
+            img = np.asarray(batch, np.float32)
+            img_ups = (img - imagenet_mean) / imagenet_std
+            img_back = (img - bmean) / bstd
+
+            lr_size = sample_lr_size(
+                img.shape[1:3], ps, cfg.down_factor, rng
+            )
+            hr_hw = (img.shape[1] // ps, img.shape[2] // ps)
+            crop_hw = tuple(min(224, 4 * v) for v in hr_hw)
+
+            x_ups = jnp.asarray(img_ups)
+            x_back = jnp.asarray(img_back)
+            if mesh is not None:
+                x_ups = jax.device_put(x_ups, shard)
+                x_back = jax.device_put(x_back, shard)
+
+            params, opt_state, loss = step_fn(
+                params, opt_state, x_ups, x_back, lr_size, hr_hw, crop_hw
+            )
+
+            if step % cfg.log_every == 0:
+                loss_v = float(loss)
+                losses.append(loss_v)
+                rec = {
+                    "step": step,
+                    "loss": loss_v,
+                    "lr_size": list(lr_size),
+                    "elapsed_s": round(time.time() - t0, 1),
+                }
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                print(f"step {step}/{cfg.train_steps} loss {loss_v:.5f}")
+
+            if (step + 1) % ckpt_every == 0 or step + 1 == cfg.train_steps:
+                save_checkpoint(cfg.log_dir, step + 1, params, opt_state)
+
+    return params
+
+
+def save_checkpoint(log_dir: str, step: int, params, opt_state=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(log_dir, f"ckpt_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, template):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
