@@ -1,0 +1,138 @@
+"""FeatUp / JBU baselines (reference src/model/featup.py, src/model/jbu.py).
+
+JBULearnedRange: a learned joint bilateral filter — softmax range kernel from
+a projected guidance (unfold over a (2r+1)^2 window) times a Gaussian spatial
+kernel, applied to the bicubic-upsampled source with a spatially-varying
+convolution. The reference's CUDA AdaptiveConv (featup.py:126) is replaced by
+naf_tpu.ops.adaptive_conv (shifted multiply-adds, XLA-fused).
+
+FeatUp: ChannelNorm + a stack of four 2x JBU units with a shared fixup
+projection applied as `proj(x) * 0.1 + x` (featup.py:23-57).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from naf_tpu.ops.adaptive_conv import adaptive_conv, reflect_pad2d, unfold_nhwc
+from naf_tpu.ops.pool import adaptive_avg_pool2d
+from naf_tpu.ops.resize import resize_bicubic, resize_bilinear
+
+__all__ = ["JBULearnedRange", "JBUStack", "FeatUp", "JBU"]
+
+
+class JBULearnedRange(nn.Module):
+    guidance_dim: int = 3
+    key_dim: int = 32
+    radius: int = 3
+    combine: bool = True
+
+    @nn.compact
+    def __call__(self, source, guidance):
+        d = 2 * self.radius + 1
+        gh, gw = guidance.shape[1], guidance.shape[2]
+
+        # learned range kernel (featup.py:89-99); Dropout2d is inference-off
+        proj = nn.Conv(self.key_dim, (1, 1), name="range_proj1")(guidance)
+        proj = nn.gelu(proj, approximate=False)
+        proj = nn.Conv(self.key_dim, (1, 1), name="range_proj2")(proj)
+        queries = unfold_nhwc(reflect_pad2d(proj, self.radius), d)  # (B,d2,H,W,K)
+        range_temp = self.param("range_temp", nn.initializers.zeros, ())
+        temp = jnp.clip(jnp.exp(range_temp), 1e-4, 1e4)
+        logits = jnp.einsum("bphwc,bhwc->bphw", queries, proj) * temp
+        range_kernel = nn.softmax(logits, axis=1)  # (B, d2, H, W)
+
+        # Gaussian spatial kernel (featup.py:101-105)
+        sigma_spatial = self.param("sigma_spatial", nn.initializers.ones, ())
+        dist = np.linspace(-1, 1, d, dtype=np.float32)
+        patch_sq = dist[:, None] ** 2 + dist[None, :] ** 2
+        spatial = jnp.exp(
+            -jnp.asarray(patch_sq.reshape(-1)) / (2 * sigma_spatial ** 2)
+        )
+
+        kernel = range_kernel * spatial[None, :, None, None]
+        kernel = kernel / jnp.clip(jnp.sum(kernel, axis=1, keepdims=True), 1e-7)
+
+        if self.combine:
+            fix_in = jnp.concatenate(
+                [jnp.moveaxis(kernel, 1, -1), guidance], axis=-1
+            )
+            fix = nn.Conv(d * d, (1, 1), name="fixup_proj1")(fix_in)
+            fix = nn.gelu(fix, approximate=False)
+            fix = nn.Conv(d * d, (1, 1), name="fixup_proj2")(fix)
+            kernel = kernel + 0.1 * jnp.moveaxis(fix, -1, 1)
+
+        kernel = jnp.moveaxis(kernel, 1, -1).reshape(
+            kernel.shape[0], gh, gw, d, d
+        )
+        hr_source = resize_bicubic(source, (gh, gw))
+        return adaptive_conv(reflect_pad2d(hr_source, self.radius), kernel)
+
+
+class JBUStack(nn.Module):
+    feat_dim: int
+    ratio: int = 16
+
+    def setup(self):
+        if self.ratio not in (2, 4, 8, 16):
+            raise ValueError("ratio must be one of 2/4/8/16")
+        self.up1 = JBULearnedRange(3, 32, radius=3)
+        self.up2 = JBULearnedRange(3, 32, radius=3)
+        self.up3 = JBULearnedRange(3, 32, radius=3)
+        self.up4 = JBULearnedRange(3, 32, radius=3)
+        self.fixup_proj = nn.Conv(self.feat_dim, (1, 1), name="fixup_proj")
+
+    def _up(self, source, guidance, up):
+        h, w = source.shape[1], source.shape[2]
+        small_guidance = adaptive_avg_pool2d(guidance, (h * 2, w * 2))
+        return up(source, small_guidance)
+
+    def __call__(self, source, guidance):
+        ups = [self.up1, self.up2, self.up3, self.up4]
+        n = {2: 1, 4: 2, 8: 3, 16: 4}[self.ratio]
+        x = source
+        for i in range(n):
+            x = self._up(x, guidance, ups[i])
+            out = self.fixup_proj(x) * 0.1 + x
+        return out
+
+
+class ChannelNorm(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+
+
+class FeatUp(nn.Module):
+    feature_dim: int = 384
+    ratio: int = 16
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, image, features, output_size=None, *args, **kwargs):
+        if self.use_norm:
+            features = ChannelNorm(self.feature_dim, name="norm")(features)
+        return JBUStack(self.feature_dim, self.ratio, name="upsampler")(
+            features, image
+        )
+
+
+class JBU(nn.Module):
+    """Single learned-JBU filtering baseline (reference src/model/jbu.py)."""
+
+    dim: int = 256
+    radius: int = 5
+    combine: bool = False
+
+    @nn.compact
+    def __call__(self, image_norm, image, output_size, *args, **kwargs):
+        guidance = resize_bilinear(image_norm, output_size)
+        source = resize_bilinear(image, output_size)
+        return JBULearnedRange(
+            3, self.dim // 4, radius=self.radius, combine=self.combine,
+            name="bilateral_filter",
+        )(source, guidance)

@@ -1,0 +1,92 @@
+"""Model registry (reference utils/wrapper.py:8-52 ModelWrapper).
+
+`build_model(name, embed_dim, ratio)` returns a flax module following the
+upsampler forward contract `(image, features, output_size)`; `ModelWrapper`
+additionally owns params (random init or converted checkpoint) and is
+callable like the reference wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["build_model", "ModelWrapper", "register", "MODEL_REGISTRY"]
+
+
+def _builders() -> Dict[str, Callable]:
+    from naf_tpu.models.anyup import AnyUpsampler
+    from naf_tpu.models.featup import FeatUp, JBU
+    from naf_tpu.models.jafar import JAFAR
+    from naf_tpu.models.jbf import JBF
+    from naf_tpu.models.naf import NAF
+    from naf_tpu.models.restorers import IRCNN, REDNet
+    from naf_tpu.models.restormer import Restormer
+    from naf_tpu.models.simple import Bilinear, Nearest
+
+    return {
+        "AnyUp": lambda embed_dim, ratio: AnyUpsampler(),
+        "Bilinear": lambda embed_dim, ratio: Bilinear(),
+        "FeatUp": lambda embed_dim, ratio: FeatUp(feature_dim=embed_dim, ratio=ratio),
+        "IRCNN": lambda embed_dim, ratio: IRCNN(),
+        "JAFAR": lambda embed_dim, ratio: JAFAR(v_dim=embed_dim),
+        "JBF": lambda embed_dim, ratio: JBF(),
+        "JBU": lambda embed_dim, ratio: JBU(),
+        "NAF": lambda embed_dim, ratio: NAF(),
+        "Nearest": lambda embed_dim, ratio: Nearest(),
+        "REDNet": lambda embed_dim, ratio: REDNet(),
+        "Restormer": lambda embed_dim, ratio: Restormer(),
+    }
+
+
+MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str, builder: Callable):
+    MODEL_REGISTRY[name] = builder
+
+
+def build_model(name: str, embed_dim: int = 384, ratio: int = 16):
+    builders = {**_builders(), **MODEL_REGISTRY}
+    if name not in builders:
+        raise ValueError(f"Unknown upsampler: {name} (have {sorted(builders)})")
+    return builders[name](embed_dim, ratio)
+
+
+class ModelWrapper:
+    """Stateful model + params holder (reference ModelWrapper semantics)."""
+
+    def __init__(
+        self,
+        name: str,
+        embed_dim: int = 384,
+        ratio: int = 16,
+        ckpt_params=None,
+        seed: int = 0,
+        init_shapes=None,
+    ):
+        self.name = name
+        self.embed_dim = embed_dim
+        self.ratio = ratio
+        self.model = build_model(name, embed_dim, ratio)
+
+        if ckpt_params is not None:
+            self.params = ckpt_params
+        else:
+            if init_shapes is None:
+                lr = 16
+                hr = lr * ratio
+                init_shapes = ((1, hr, hr, 3), (1, lr, lr, embed_dim), (hr, hr))
+            img = jnp.zeros(init_shapes[0], jnp.float32)
+            feats = jnp.zeros(init_shapes[1], jnp.float32)
+            variables = self.model.init(
+                jax.random.PRNGKey(seed), img, feats, init_shapes[2]
+            )
+            self.params = variables.get("params", {})
+
+    def __call__(self, image, features, output_size):
+        return self.model.apply(
+            {"params": self.params}, image, features, output_size
+        )

@@ -1,0 +1,115 @@
+"""Baseline model zoo: shape contracts, JBF numerical parity vs kornia-free
+torch reference formula, bicubic resize parity, registry coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from naf_tpu.models import ModelWrapper, build_model
+from naf_tpu.ops.resize import resize_bicubic
+
+UPSAMPLERS = ["Bilinear", "Nearest", "JAFAR", "FeatUp", "NAF"]
+RESTORERS = ["IRCNN", "REDNet", "Restormer", "JBF", "JBU"]
+
+
+def _data(hr=32, lr=8, c=16, seed=0):
+    rng = np.random.RandomState(seed)
+    img = jnp.asarray(rng.rand(1, hr, hr, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, lr, lr, c).astype(np.float32))
+    return img, feats
+
+
+@pytest.mark.parametrize("name", UPSAMPLERS)
+def test_upsampler_contract(name):
+    img, feats = _data()
+    if name == "NAF":
+        # default NAF kernel 9 needs bigger grids; use a small variant
+        from naf_tpu.models import NAF
+
+        m = NAF(dim=32, heads_attn=2, heads_rope=2, kernel_size=5, img_layers=1,
+                na_impl="xla")
+    else:
+        m = build_model(name, embed_dim=16, ratio=4)
+    params = m.init(jax.random.PRNGKey(0), img, feats, (32, 32))
+    out = m.apply(params, img, feats, (32, 32))
+    assert out.shape == (1, 32, 32, 16), (name, out.shape)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name", RESTORERS)
+def test_restorer_contract(name):
+    rng = np.random.RandomState(0)
+    noisy = jnp.asarray(rng.rand(1, 24, 24, 3).astype(np.float32))
+    norm = (noisy - 0.45) / 0.22
+    m = build_model(name, embed_dim=16, ratio=4)
+    params = m.init(jax.random.PRNGKey(0), norm, noisy, (32, 32))
+    out = m.apply(params, norm, noisy, (32, 32))
+    assert out.shape == (1, 32, 32, 3), (name, out.shape)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_anyup_is_gated():
+    img, feats = _data()
+    m = build_model("AnyUp")
+    with pytest.raises(NotImplementedError):
+        m.init(jax.random.PRNGKey(0), img, feats, (32, 32))
+
+
+def test_registry_wrapper_and_unknown():
+    w = ModelWrapper("Bilinear", embed_dim=16, ratio=4)
+    img, feats = _data()
+    out = w(img, feats, (32, 32))
+    assert out.shape == (1, 32, 32, 16)
+    with pytest.raises(ValueError):
+        build_model("NoSuchModel")
+
+
+def test_bicubic_matches_torch():
+    x = np.random.RandomState(0).randn(1, 3, 9, 11).astype(np.float32)
+    for size in [(27, 33), (18, 22), (5, 7)]:
+        want = F.interpolate(
+            torch.from_numpy(x), size=size, mode="bicubic", align_corners=False
+        ).numpy()
+        got = resize_bicubic(jnp.asarray(x.transpose(0, 2, 3, 1)), size)
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4
+        )
+
+
+def test_jbf_matches_torch_reference_formula():
+    """Joint bilateral blur vs a direct torch implementation of the kornia
+    formula (unfold + gaussian space kernel + color kernel)."""
+    from naf_tpu.models.jbf import joint_bilateral_blur
+
+    rng = np.random.RandomState(1)
+    inp = rng.rand(1, 3, 12, 12).astype(np.float32)
+    guide = rng.rand(1, 3, 12, 12).astype(np.float32)
+    ks, sc, ss = 5, 0.1, 1.5
+    r = ks // 2
+
+    ti, tg = torch.from_numpy(inp), torch.from_numpy(guide)
+    gp = F.pad(tg, [r] * 4, mode="reflect")
+    gw = F.unfold(gp, ks).reshape(1, 3, ks * ks, 12, 12)
+    diff2 = ((gw - tg.unsqueeze(2)) ** 2).sum(1)
+    color = torch.exp(-0.5 / sc ** 2 * diff2)
+    ax = torch.arange(ks, dtype=torch.float32) - r
+    g1 = torch.exp(-0.5 * (ax / ss) ** 2)
+    space = (g1[:, None] * g1[None, :]).reshape(-1)
+    space = space / space.sum()
+    kernel = color * space[None, :, None, None]
+    kernel = kernel / kernel.sum(1, keepdim=True)
+    ip = F.pad(ti, [r] * 4, mode="reflect")
+    iw = F.unfold(ip, ks).reshape(1, 3, ks * ks, 12, 12)
+    want = (iw * kernel.unsqueeze(1)).sum(2).numpy()
+
+    got = joint_bilateral_blur(
+        jnp.asarray(inp.transpose(0, 2, 3, 1)),
+        jnp.asarray(guide.transpose(0, 2, 3, 1)),
+        ks, sc, ss,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-5
+    )
