@@ -89,6 +89,11 @@ class PretrainedViTWrapper:
             "ps": self.patch_size,
         }
 
+        import dataclasses
+
+        # bf16 extraction takes the native MXU path; f32 stays reference-exact
+        precision = "default" if dtype == jnp.bfloat16 else "highest"
+
         if checkpoint is not None:
             import torch
 
@@ -101,7 +106,7 @@ class PretrainedViTWrapper:
             heads = num_heads or max(dim // 64, 1)
             params, cfg = vit_from_torch(state, heads)
             self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
-            self.vit_config = cfg
+            self.vit_config = dataclasses.replace(cfg, precision=precision)
         else:
             dim = _embed_dim_from_name(name)
             heads = num_heads or max(dim // 64, 1)
@@ -111,6 +116,7 @@ class PretrainedViTWrapper:
                 depth=12,
                 num_heads=heads,
                 pos_grid=self.config["input_size"][1] // self.patch_size,
+                precision=precision,
             )
             model = ViT(self.vit_config)
             # param shapes don't depend on input size (pos grid is config)

@@ -1,0 +1,115 @@
+"""Config composition + data pipeline tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from naf_tpu.config import get_feature, get_patch_size, instantiate, load_config
+from naf_tpu.data import DataLoader, ImageFolderDataset
+from naf_tpu.data.transforms import image_transform, label_transform
+
+
+def test_load_base_config_composition():
+    cfg = load_config("base")
+    assert cfg["model"]["_target_"].endswith("NAF")
+    assert cfg["model"]["dim"] == 256
+    assert cfg["train_dataloader"]["batch_size"] == 4
+    assert cfg["val_dataloader"]["batch_size"] == 16
+    assert cfg["val_dataloader"]["shuffle"] is False
+    assert cfg["target_size"] == cfg["img_size"] == 512
+    assert cfg["loss"]["mse"]["loss_type"] == "mse"
+    assert cfg["optimizer"]["lr"] == 2e-4
+
+
+def test_overrides_group_swap_and_dotted():
+    cfg = load_config("base", ["model=bilinear", "img_size=448", "model.name=x"])
+    assert cfg["model"]["_target_"].endswith("Bilinear")
+    assert cfg["img_size"] == 448 and cfg["target_size"] == 448
+    assert cfg["model"]["name"] == "x"
+
+
+def test_resolvers_and_interpolation():
+    cfg = load_config("base", ["model=jafar", "backbone.name=vit_small_patch14_dinov2"])
+    assert cfg["model"]["v_dim"] == 384
+    assert get_feature("vit_base_patch16") == 768
+    assert get_patch_size("vit_large_patch14_x") == 14
+    assert get_patch_size("franca_vitb") == 14
+    cfg2 = load_config("eval_probing", ["dataset=ade20k"])
+    assert cfg2["metrics"]["seg"]["num_classes"] == 151
+    assert cfg2["dataset"]["root"].endswith("ADEChallengeData2016")
+
+
+def test_derived_roots():
+    cfg = load_config("base_denoising")
+    assert cfg["denoising"]["loss"]["l2_weight"] == 5.0
+    assert cfg["img_size"] == 448
+    assert cfg["train_dataloader"]["batch_size"] == 4
+    cfg_v = load_config("eval_video_seg")
+    assert cfg_v["eval"]["n_last_frames"] == 7
+    assert cfg_v["dataset"]["tag"] == "davis"
+
+
+def test_instantiate():
+    cfg = load_config("base", ["model=bilinear"])
+    model = instantiate(cfg["model"])
+    from naf_tpu.models import Bilinear
+
+    assert isinstance(model, Bilinear)
+
+
+def _make_imagefolder(tmp_path, n_classes=2, per_class=3, size=32):
+    rng = np.random.RandomState(0)
+    for c in range(n_classes):
+        d = tmp_path / f"class{c}"
+        d.mkdir(parents=True)
+        for i in range(per_class):
+            arr = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"img{i}.jpg")
+    return str(tmp_path)
+
+
+def test_imagefolder_and_loader(tmp_path):
+    root = _make_imagefolder(tmp_path / "data")
+    ds = ImageFolderDataset(root, transform=lambda im: image_transform(im, 16))
+    assert len(ds) == 6
+    assert os.path.exists(str(tmp_path / "data") + ".txt")  # cached listing
+    # cache is reused
+    ds2 = ImageFolderDataset(root, transform=lambda im: image_transform(im, 16))
+    assert len(ds2) == 6
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+    assert batches[0]["image"].dtype == np.float32
+    assert 0 <= batches[0]["image"].min() and batches[0]["image"].max() <= 1
+    # deterministic reshuffle per epoch with fixed seed
+    l1 = [b["label"].tolist() for b in DataLoader(ds, 4, True, 2, seed=1)]
+    l2 = [b["label"].tolist() for b in DataLoader(ds, 4, True, 2, seed=1)]
+    assert l1 == l2
+
+
+def test_transforms_match_torchvision_semantics():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    arr = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+    img = Image.fromarray(arr)
+    out = image_transform(img, 24)
+    assert out.shape == (24, 24, 3)
+
+    lbl = Image.fromarray(rng.randint(0, 5, (37, 53)).astype(np.uint8))
+    lt = label_transform(lbl, 24)
+    assert lt.shape == (24, 24) and lt.dtype == np.int32
+    # nearest-exact label resize parity vs torch on the pre-crop grid
+    want = F.interpolate(
+        torch.from_numpy(np.asarray(lbl))[None, None].float(),
+        size=(24, 34), mode="nearest-exact",
+    )[0, 0].numpy().astype(np.int32)
+    from naf_tpu.data.transforms import _nearest_exact_resize_np
+
+    got = _nearest_exact_resize_np(np.asarray(lbl), (24, 34))
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,88 @@
+"""NAF upsampler training CLI (reference train.py).
+
+Usage:
+    python train.py [key=value ...]
+e.g.
+    python train.py model=naf backbone.name=vit_small_patch14_dinov2 \\
+        dataroot=/data train_steps=25000
+    python train.py synthetic=true train_steps=20 img_size=224   # smoke run
+
+Config groups and override syntax mirror the reference Hydra setup
+(config/base.yaml); `synthetic=true` replaces the ImageNet folder with random
+images for dataset-free smoke runs.
+"""
+
+import sys
+
+import numpy as np
+
+from naf_tpu.backbones import PretrainedViTWrapper
+from naf_tpu.config import instantiate, load_config
+from naf_tpu.train.trainer import TrainConfig, train_upsampler
+
+
+def synthetic_images(batch_size, img_size, seed=0):
+    rng = np.random.RandomState(seed)
+    while True:
+        yield rng.rand(batch_size, img_size, img_size, 3).astype(np.float32)
+
+
+def folder_images(cfg):
+    from naf_tpu.data import DataLoader, ImageFolderDataset
+    from naf_tpu.data.transforms import image_transform
+
+    ds = ImageFolderDataset(
+        cfg["dataset"]["root"],
+        transform=lambda im: image_transform(im, cfg["img_size"]),
+    )
+    loader = DataLoader(
+        ds,
+        batch_size=cfg["train_dataloader"]["batch_size"],
+        shuffle=cfg["train_dataloader"].get("shuffle", True),
+        num_workers=cfg["train_dataloader"].get("num_workers", 4),
+        drop_last=True,
+    )
+    while True:
+        for batch in loader:
+            yield batch["image"]
+
+
+def main(argv):
+    overrides = [a for a in argv if "=" in a]
+    cfg = load_config("base", overrides)
+    synthetic = bool(cfg.get("synthetic", False))
+
+    import jax.numpy as jnp
+
+    backbone = PretrainedViTWrapper(
+        cfg["backbone"]["name"],
+        checkpoint=cfg["backbone"].get("checkpoint"),
+        dtype=jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32,
+    )
+    model = instantiate(cfg["model"])
+
+    tcfg = TrainConfig(
+        train_steps=cfg["train_steps"],
+        img_size=cfg["img_size"],
+        lr=cfg["optimizer"]["lr"],
+        weight_decay=cfg["optimizer"].get("weight_decay", 1e-5),
+        batch_size=cfg["train_dataloader"]["batch_size"],
+        down_factor=cfg.get("down_factor", "fixed"),
+        use_bf16=cfg.get("use_bf16", True),
+        log_dir=cfg.get("run_dir", "runs/naf"),
+    )
+    if cfg.get("sanity"):
+        tcfg.train_steps = 1
+
+    data = (
+        synthetic_images(tcfg.batch_size, tcfg.img_size)
+        if synthetic
+        else folder_images(cfg)
+    )
+    params = train_upsampler(model, backbone, data, tcfg)
+    print(f"done; checkpoints + metrics in {tcfg.log_dir}")
+    return params
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
