@@ -1,0 +1,46 @@
+"""Benchmark sweep CLI (reference test/ harness UX, test/conftest.py:4-8):
+
+    python -m naf_tpu.bench --ratio            # sweep ratios 2..32
+    python -m naf_tpu.bench --img-size         # sweep output sizes
+    python -m naf_tpu.bench --embed-dim --models NAF JAFAR --bf16
+
+Exactly one sweep factor per run (test/test_utils.py:41-43); results merge
+into benchmarks/results.json keyed on (model, factor, dims).
+"""
+
+import argparse
+
+import jax.numpy as jnp
+
+from naf_tpu.bench.harness import MODELS, SWEEPS, run_sweep
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    for factor in SWEEPS:
+        ap.add_argument(
+            f"--{factor.replace('_', '-')}", action="store_true",
+            help=f"sweep {factor} over {SWEEPS[factor]}",
+        )
+    ap.add_argument("--models", nargs="+", default=MODELS)
+    ap.add_argument("--values", nargs="+", type=int, default=None)
+    ap.add_argument("--out", default="benchmarks/results.json")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--no-backward", action="store_true")
+    args = ap.parse_args()
+
+    chosen = [f for f in SWEEPS if getattr(args, f)]
+    if len(chosen) != 1:
+        ap.error(f"choose exactly one sweep factor of {list(SWEEPS)}")
+    run_sweep(
+        chosen[0],
+        models=args.models,
+        values=args.values,
+        out_path=args.out,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        backward=not args.no_backward,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Model efficiency benchmark harness (reference test/ directory).
+
+Sweeps one factor at a time over the upsampler zoo and persists metrics to a
+JSON file keyed like the reference's test/test_results.json (factors:
+img-size {112,224,448,896}, embed-dim {128,384,768,1024}, ratio
+{2,4,8,16,32}, lr-size; defaults img 448, dim 384, ratio 16, lr 28 —
+test/test_utils.py:16-25). Metrics per (model, config):
+
+- forward / backward latency (ms): chained-loop device timing
+  (tunnel-safe; the reference uses CUDA events, test/forward_speed.py:39-50)
+- forward / backward memory (MB): XLA memory analysis of the compiled
+  executable (temp + output allocations; the reference reports
+  torch.cuda.max_memory_allocated)
+- GFLOPS: XLA cost analysis of the compiled forward (reference: ptflops,
+  test/flops_params.py:34-43); params: pytree leaf count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from naf_tpu.models.registry import ModelWrapper
+from naf_tpu.utils.benchmarking import device_time_ms
+
+DEFAULTS = {"img_size": 448, "embed_dim": 384, "ratio": 16, "lr_size": 28}
+SWEEPS = {
+    "img_size": [112, 224, 448, 896],
+    "embed_dim": [128, 384, 768, 1024],
+    "ratio": [2, 4, 8, 16, 32],
+    "lr_size": [32],
+}
+MODELS = ["Bilinear", "Nearest", "FeatUp", "JAFAR", "NAF"]
+
+__all__ = ["run_sweep", "benchmark_model", "DEFAULTS", "SWEEPS", "MODELS"]
+
+
+def _config_from_factor(factor: str, value: int) -> dict:
+    cfg = dict(DEFAULTS)
+    cfg[factor] = value
+    if factor == "ratio":
+        cfg["img_size"] = cfg["lr_size"] * value
+    elif factor == "img_size":
+        cfg["lr_size"] = max(value // cfg["ratio"], 1)
+    elif factor == "lr_size":
+        cfg["img_size"] = value * cfg["ratio"]
+    return cfg
+
+
+def _count_params(tree) -> int:
+    return int(sum(np.prod(l.shape) for l in jax.tree.leaves(tree)))
+
+
+def _mem_mb(compiled) -> Optional[float]:
+    try:
+        mem = compiled.memory_analysis()
+        total = (
+            mem.temp_size_in_bytes
+            + mem.output_size_in_bytes
+            + mem.argument_size_in_bytes
+        )
+        return round(total / 2 ** 20, 1)
+    except Exception:
+        return None
+
+
+def _flops_g(compiled) -> Optional[float]:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return round(float(cost.get("flops", 0.0)) / 1e9, 2)
+    except Exception:
+        return None
+
+
+def benchmark_model(
+    name: str, img_size: int, embed_dim: int, lr_size: int,
+    dtype=jnp.float32, iters: int = 10, backward: bool = True,
+) -> Dict:
+    ratio = img_size // lr_size
+    wrapper = ModelWrapper(
+        name, embed_dim=embed_dim, ratio=ratio,
+        init_shapes=((1, img_size, img_size, 3),
+                     (1, lr_size, lr_size, embed_dim),
+                     (img_size, img_size)),
+    )
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    image = jax.random.normal(k1, (1, img_size, img_size, 3), dtype)
+    feats = jax.random.normal(k2, (1, lr_size, lr_size, embed_dim), dtype)
+    params = jax.tree.map(lambda a: a.astype(dtype), wrapper.params)
+
+    def fwd(params, image, feats):
+        return wrapper.model.apply(
+            {"params": params}, image, feats, (img_size, img_size)
+        )
+
+    result: Dict = {
+        "model": name, "img_size": img_size, "embed_dim": embed_dim,
+        "ratio": ratio, "lr_size": lr_size,
+        "params": _count_params(wrapper.params),
+        "dtype": jnp.dtype(dtype).name,
+    }
+
+    lowered = jax.jit(fwd).lower(params, image, feats)
+    compiled = lowered.compile()
+    result["fwd_ms"] = round(device_time_ms(fwd, params, image, feats, iters=iters), 3)
+    result["fwd_mem_mb"] = _mem_mb(compiled)
+    result["gflops"] = _flops_g(compiled)
+
+    if backward:
+        # reference backward: 1x1 conv head + SGD step (test/backward_speed.py)
+        head = jax.random.normal(rng, (embed_dim, embed_dim), dtype) * 0.01
+
+        def loss_fn(params, head, image, feats):
+            out = fwd(params, image, feats)
+            return jnp.mean((out @ head) ** 2)
+
+        def train_step(params, head, image, feats):
+            grads = jax.grad(loss_fn, argnums=(0, 1))(params, head, image, feats)
+            params = jax.tree.map(lambda p, g: p - 1e-3 * g, params, grads[0])
+            return params, head - 1e-3 * grads[1]
+
+        try:
+            c_bwd = jax.jit(train_step).lower(params, head, image, feats).compile()
+            result["bwd_ms"] = round(
+                device_time_ms(train_step, params, head, image, feats, iters=iters),
+                3,
+            )
+            result["bwd_mem_mb"] = _mem_mb(c_bwd)
+        except Exception as e:  # some baselines have no params to train
+            result["bwd_error"] = str(e)[:120]
+    return result
+
+
+def run_sweep(
+    factor: str,
+    models: Iterable[str] = MODELS,
+    values: Optional[Iterable[int]] = None,
+    out_path: str = "benchmarks/results.json",
+    dtype=jnp.float32,
+    backward: bool = True,
+) -> list:
+    values = list(values) if values is not None else SWEEPS[factor]
+    results = []
+    existing = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    for value in values:
+        cfg = _config_from_factor(factor, value)
+        for name in models:
+            print(f"bench {name} {factor}={value} ({cfg})")
+            try:
+                rec = benchmark_model(
+                    name, cfg["img_size"], cfg["embed_dim"], cfg["lr_size"],
+                    dtype=dtype, backward=backward,
+                )
+            except NotImplementedError as e:
+                rec = {"model": name, **cfg, "error": str(e)[:120]}
+            except Exception as e:
+                rec = {"model": name, **cfg, "error": str(e)[:200]}
+            rec["factor"] = factor
+            results.append(rec)
+            print("  ->", {k: rec.get(k) for k in
+                           ("fwd_ms", "bwd_ms", "fwd_mem_mb", "gflops", "error")})
+    key = lambda r: (r.get("model"), r.get("factor"), r.get("img_size"),
+                     r.get("embed_dim"), r.get("ratio"), r.get("lr_size"),
+                     r.get("dtype"))
+    merged = {key(r): r for r in existing}
+    merged.update({key(r): r for r in results})
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
+    return results

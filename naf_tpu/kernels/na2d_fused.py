@@ -52,7 +52,8 @@ def _valid_bcs(r: int, l: int, kernel: int):
 
 
 @functools.lru_cache(maxsize=512)
-def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize):
+def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
+                     vmem_budget=10 * 2 ** 20):
     """Choose (bc_h, bc_w) by a simple static cost model.
 
     Cost per program = fixed overhead + Q/out tile HBM time + MXU time with
@@ -76,7 +77,7 @@ def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize):
             tile_bytes = bh * bw * n * (d_eff + dv) * itemsize * 2
             logit_bytes = min(bh * bw, 4096 // max(bw // 256, 1)) * nc_eff * 4
             kv_bytes = nc_eff * n * (d_eff + dv) * itemsize
-            if tile_bytes + logit_bytes + kv_bytes > 10 * 2 ** 20:
+            if tile_bytes + logit_bytes + kv_bytes > vmem_budget:
                 continue
             programs = -(-hk // bc_h) * -(-wk // bc_w)
             flops = 2 * bh * bw * n * nc_eff * (d_eff + dv)
@@ -129,6 +130,30 @@ def _gather_union_tiles(x, bc_h, bc_w, kernel, cell0_h=0, n_cells_h=None):
     t = t.reshape(b, rows.shape[0], kb_h, cols.shape[0], kb_w, c)
     t = jnp.transpose(t, (0, 1, 3, 2, 4, 5))
     return t.reshape(b, rows.shape[0], cols.shape[0], kb_h * kb_w, c)
+
+
+def _scatter_union_tiles(d_tiles, hk, wk, bc_h, bc_w, kernel,
+                         cell0_h=0, n_cells_h=None):
+    """Reverse of _gather_union_tiles: (B, nCH, nCW, Nc, C) tile grads ->
+    (B, hk, wk, C), accumulating overlapping tile cells."""
+    b, n_ch, n_cw, nc, c = d_tiles.shape
+    kb_h = bc_h + kernel - 1
+    kb_w = bc_w + kernel - 1
+    rows = (
+        _tile_origins(hk, bc_h, kernel, cell0_h, n_cells_h)[:, None]
+        + np.arange(kb_h)[None, :]
+    ).reshape(-1)
+    cols = (
+        _tile_origins(wk, bc_w, kernel)[:, None] + np.arange(kb_w)[None, :]
+    ).reshape(-1)
+    t = d_tiles.reshape(b, n_ch, n_cw, kb_h, kb_w, c)
+    t = jnp.transpose(t, (0, 1, 3, 2, 4, 5)).reshape(
+        b, n_ch * kb_h, n_cw * kb_w, c
+    )
+    out = jnp.zeros((b, n_ch * kb_h, wk, c), t.dtype)
+    out = out.at[:, :, jnp.asarray(cols)].add(t)
+    full = jnp.zeros((b, hk, wk, c), t.dtype)
+    return full.at[:, jnp.asarray(rows)].add(out)
 
 
 def _kernel(
@@ -265,18 +290,233 @@ def _fused_diff_fwd(q, k, v, kernel_size, scale, interpret, row_cell0, full_hq):
 
 
 def _fused_diff_bwd(kernel_size, scale, interpret, row_cell0, full_hq, res, g):
-    from naf_tpu.ops.na2d import cross_scale_na2d
-
     q, k, v = res
     if row_cell0 != 0 or full_hq != q.shape[1]:
         raise NotImplementedError("banded fused NA is inference-only")
-    _, vjp = jax.vjp(
-        lambda q, k, v: cross_scale_na2d(q, k, v, kernel_size, scale=scale), q, k, v
-    )
-    return vjp(g)
+    return _fused_bwd_impl(q, k, v, g, kernel_size, scale, interpret)
 
 
 _fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
+
+
+def _bwd_kernel(
+    q_ref,  # (1, n, BH, BW, d) VMEM, head-major
+    k_ref,  # (1, 1, 1, n, Nc, d) VMEM union tile
+    v_ref,  # (1, 1, 1, n, Nc, dv) VMEM union tile
+    do_ref,  # (1, n, BH, BW, dv) VMEM, head-major dL/dout
+    dq_ref,  # (1, n, BH, BW, d) VMEM out
+    dk_ref,  # (1, 1, 1, n, Nc, d) VMEM out (per-block tile grad)
+    dv_ref,  # (1, 1, 1, n, Nc, dv) VMEM out
+    *,
+    kernel_size: int,
+    num_heads: int,
+    r_h: int,
+    r_w: int,
+    bc_h: int,
+    bc_w: int,
+    hk: int,
+    wk: int,
+    hq: int,
+    wq: int,
+    scale: float,
+    chunk_rows: int,
+):
+    """Recompute-P backward (flash-attention style): per chunk and head,
+    rebuild the softmax from Q/K, then
+      dP = dO @ V^T; delta = rowsum(P * dP); dlogits = P * (dP - delta)
+      dQ = scale * dlogits @ K;  dK_tile += scale * dlogits^T @ Q;
+      dV_tile += P^T @ dO.
+    Tile grads are scatter-added into the LR grid outside the kernel.
+    Padded query rows/cols (cdiv grids) are zeroed out of P/dP so they
+    cannot pollute the dK/dV reductions."""
+    kk = kernel_size
+    nh = kk // 2
+    kb_h = bc_h + kk - 1
+    kb_w = bc_w + kk - 1
+    ci0 = pl.program_id(1) * bc_h
+    cj0 = pl.program_id(2) * bc_w
+    row0 = jnp.clip(ci0 - nh, 0, hk - kb_h)
+    col0 = jnp.clip(cj0 - nh, 0, wk - kb_w)
+
+    bh = bc_h * r_h
+    bw = bc_w * r_w
+    d = q_ref.shape[-1]
+    dv_dim = v_ref.shape[-1]
+    nc = kb_h * kb_w
+    n_chunks = bh // chunk_rows
+    cq = chunk_rows * bw
+
+    prec_f32 = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (cq, nc), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (cq, nc), 1)
+    i_loc = rows_i // bw
+    j_loc = rows_i - i_loc * bw
+    t_idx = cols_i // kb_w
+    s_idx = cols_i - t_idx * kb_w
+    cell_w = cj0 + j_loc // r_w
+    ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
+    ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)
+    col_valid = (cj0 * r_w + j_loc) < wq
+
+    for h in range(num_heads):
+        dk_ref[0, 0, 0, h] = jnp.zeros((nc, d), dk_ref.dtype)
+        dv_ref[0, 0, 0, h] = jnp.zeros((nc, dv_dim), dv_ref.dtype)
+
+    def body(c, _):
+        row_start = c * chunk_rows
+        cell_h = ci0 + c * (chunk_rows // r_h) + i_loc // r_h
+        ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
+        ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
+        bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
+        row_valid = (ci0 * r_h + row_start + i_loc) < hq
+        valid = row_valid & col_valid
+        # per-query validity as a (cq, 1) column for zeroing matmul operands
+        # (0 * NaN = NaN: padded rows must be zeroed BEFORE contractions)
+        valid_q = valid[:, :1]
+
+        for h in range(num_heads):
+            k_mat = k_ref[0, 0, 0, h]
+            v_mat = v_ref[0, 0, 0, h]
+            q_mat = q_ref[0, h, pl.ds(row_start, chunk_rows), :, :].reshape(cq, d)
+            do_mat = do_ref[0, h, pl.ds(row_start, chunk_rows), :, :].reshape(
+                cq, dv_dim
+            )
+            q_mat = jnp.where(valid_q, q_mat, 0)
+            do_mat = jnp.where(valid_q, do_mat, 0)
+            logits = jax.lax.dot_general(
+                q_mat, k_mat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec_f32,
+            ) * scale + bias
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # where (not multiply): padded queries may hold NaN/Inf garbage
+            p = jnp.where(valid, p, 0.0)
+
+            dp = jax.lax.dot_general(
+                do_mat, v_mat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec_f32,
+            )
+            dp = jnp.where(valid, dp, 0.0)  # padded-row dO may be NaN
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            dl = p * (dp - delta)  # (cq, nc) f32
+
+            dq = jax.lax.dot_general(
+                dl.astype(k_mat.dtype), k_mat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec_f32,
+            ) * scale
+            dq_ref[0, h, pl.ds(row_start, chunk_rows), :, :] = dq.reshape(
+                chunk_rows, bw, d
+            ).astype(dq_ref.dtype)
+
+            dk = jax.lax.dot_general(
+                dl.astype(q_mat.dtype), q_mat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec_f32,
+            ) * scale  # (nc, d)
+            dk_ref[0, 0, 0, h] = dk_ref[0, 0, 0, h] + dk.astype(dk_ref.dtype)
+
+            dvt = jax.lax.dot_general(
+                p.astype(do_mat.dtype), do_mat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec_f32,
+            )  # (nc, dv)
+            dv_ref[0, 0, 0, h] = dv_ref[0, 0, 0, h] + dvt.astype(dv_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, body, None)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "scale", "interpret")
+)
+def _fused_bwd_impl(q, k, v, g, kernel_size: int, scale, interpret=False):
+    b, hq, wq, n, d = q.shape
+    _, hk, wk, _, dv = v.shape
+    kk = kernel_size
+    r_h, r_w = hq // hk, wq // wk
+    itemsize = q.dtype.itemsize
+    # the backward holds ~2.5x the forward's tiles (q/do/dq + k/v/dk/dv),
+    # so pick blocks against a much tighter VMEM budget
+    blocks = pick_cell_blocks(
+        r_h, r_w, hk, wk, kk, n, d, dv, itemsize, vmem_budget=3 * 2 ** 20
+    )
+    if blocks is None:
+        raise ValueError("shapes not supported by fused kernel; use the xla path")
+    bc_h, bc_w = blocks
+    bh, bw = bc_h * r_h, bc_w * r_w
+    n_ch = pl.cdiv(hk, bc_h)
+    n_cw = pl.cdiv(wk, bc_w)
+    kb_h = bc_h + kk - 1
+    kb_w = bc_w + kk - 1
+    nc = kb_h * kb_w
+
+    budget_rows = max((1_000_000 // 4) // max(nc * bw, 1), 1)
+    chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
+    while bh % chunk_rows:
+        chunk_rows -= r_h
+
+    k_tiles = _gather_union_tiles(k.reshape(b, hk, wk, n * d), bc_h, bc_w, kk)
+    v_tiles = _gather_union_tiles(v.reshape(b, hk, wk, n * dv), bc_h, bc_w, kk)
+    k_tiles = jnp.swapaxes(k_tiles.reshape(b, n_ch, n_cw, nc, n, d), 3, 4)
+    v_tiles = jnp.swapaxes(v_tiles.reshape(b, n_ch, n_cw, nc, n, dv), 3, 4)
+
+    q_hm = jnp.transpose(q, (0, 3, 1, 2, 4))
+    g_hm = jnp.transpose(g, (0, 3, 1, 2, 4))
+
+    grid = (b, n_ch, n_cw)
+    tile_spec = lambda ch: pl.BlockSpec(
+        (1, 1, 1, n, nc, ch),
+        lambda bb, ii, jj: (bb, ii, jj, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    big_spec = lambda ch: pl.BlockSpec(
+        (1, n, bh, bw, ch),
+        lambda bb, ii, jj: (bb, 0, ii, jj, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    dq_hm, dk_tiles, dv_tiles = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            kernel_size=kk, num_heads=n, r_h=r_h, r_w=r_w,
+            bc_h=bc_h, bc_w=bc_w, hk=hk, wk=wk, hq=hq, wq=wq,
+            scale=float(scale), chunk_rows=chunk_rows,
+        ),
+        grid=grid,
+        in_specs=[big_spec(d), tile_spec(d), tile_spec(dv), big_spec(dv)],
+        out_specs=[big_spec(d), tile_spec(d), tile_spec(dv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hq, wq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n_ch, n_cw, n, nc, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_ch, n_cw, n, nc, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_hm, k_tiles, v_tiles, g_hm)
+
+    dq = jnp.transpose(dq_hm, (0, 2, 3, 1, 4))
+    dk_flat = jnp.swapaxes(dk_tiles, 3, 4).reshape(b, n_ch, n_cw, nc, n * d)
+    dv_flat = jnp.swapaxes(dv_tiles, 3, 4).reshape(b, n_ch, n_cw, nc, n * dv)
+    dk_full = _scatter_union_tiles(dk_flat, hk, wk, bc_h, bc_w, kk)
+    dv_full = _scatter_union_tiles(dv_flat, hk, wk, bc_h, bc_w, kk)
+    return (
+        dq,
+        dk_full.reshape(b, hk, wk, n, d).astype(k.dtype),
+        dv_full.reshape(b, hk, wk, n, dv).astype(v.dtype),
+    )
 
 
 @functools.partial(

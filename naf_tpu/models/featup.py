@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
-from naf_tpu.ops.adaptive_conv import adaptive_conv, reflect_pad2d, unfold_nhwc
+from naf_tpu.ops.adaptive_conv import adaptive_conv, reflect_pad2d
 from naf_tpu.ops.pool import adaptive_avg_pool2d
 from naf_tpu.ops.resize import resize_bicubic, resize_bilinear
 
@@ -34,14 +34,23 @@ class JBULearnedRange(nn.Module):
         d = 2 * self.radius + 1
         gh, gw = guidance.shape[1], guidance.shape[2]
 
-        # learned range kernel (featup.py:89-99); Dropout2d is inference-off
+        # learned range kernel (featup.py:89-99); Dropout2d is inference-off.
+        # Computed as an offset loop of fused multiply-reduces — materializing
+        # the (B, d^2, H, W, key_dim) unfold would cost GBs at 448^2+.
         proj = nn.Conv(self.key_dim, (1, 1), name="range_proj1")(guidance)
         proj = nn.gelu(proj, approximate=False)
         proj = nn.Conv(self.key_dim, (1, 1), name="range_proj2")(proj)
-        queries = unfold_nhwc(reflect_pad2d(proj, self.radius), d)  # (B,d2,H,W,K)
+        padded = reflect_pad2d(proj, self.radius)
         range_temp = self.param("range_temp", nn.initializers.zeros, ())
         temp = jnp.clip(jnp.exp(range_temp), 1e-4, 1e4)
-        logits = jnp.einsum("bphwc,bhwc->bphw", queries, proj) * temp
+        logits = jnp.stack(
+            [
+                jnp.sum(padded[:, i : i + gh, j : j + gw] * proj, axis=-1)
+                for i in range(d)
+                for j in range(d)
+            ],
+            axis=1,
+        ) * temp
         range_kernel = nn.softmax(logits, axis=1)  # (B, d2, H, W)
 
         # Gaussian spatial kernel (featup.py:101-105)

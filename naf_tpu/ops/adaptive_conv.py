@@ -42,19 +42,27 @@ def unfold_nhwc(x: jnp.ndarray, diameter: int) -> jnp.ndarray:
 def adaptive_conv(source_padded: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel convolution (FeatUp AdaptiveConv semantics, NHWC).
 
+    Implemented as a fori_loop over the k^2 offsets (one multiply-add pass
+    each) — an unrolled loop makes XLA keep all k^2 shifted copies alive,
+    which is GBs at 448^2 x 384.
+
     Args:
       source_padded: (B, H + k - 1, W + k - 1, C)
       kernel: (B, H, W, k, k) per-output-pixel weights.
     Returns:
       (B, H, W, C)
     """
+    import jax
+
     b, hp, wp, c = source_padded.shape
     kh, kw = kernel.shape[3], kernel.shape[4]
     h, w = hp - kh + 1, wp - kw + 1
-    out = jnp.zeros((b, h, w, c), jnp.promote_types(source_padded.dtype, kernel.dtype))
-    for i in range(kh):
-        for j in range(kw):
-            out = out + source_padded[:, i : i + h, j : j + w, :] * kernel[
-                :, :, :, i, j, None
-            ]
-    return out
+    dtype = jnp.promote_types(source_padded.dtype, kernel.dtype)
+
+    def body(p, acc):
+        i, j = p // kw, p % kw
+        win = jax.lax.dynamic_slice(source_padded, (0, i, j, 0), (b, h, w, c))
+        wgt = jax.lax.dynamic_slice(kernel, (0, 0, 0, i, j), (b, h, w, 1, 1))
+        return acc + win.astype(dtype) * wgt[..., 0].astype(dtype)
+
+    return jax.lax.fori_loop(0, kh * kw, body, jnp.zeros((b, h, w, c), dtype))

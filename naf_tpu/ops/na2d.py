@@ -78,12 +78,18 @@ def na2d(q, k, v, kernel_size, dilation=(1, 1), scale=None, return_weights=False
     return _na2d_from_indices(q, k, v, idx_h, idx_w, scale, return_weights)
 
 
-def cross_scale_na2d(q, k, v, kernel_size, scale=None, return_weights=False):
+def cross_scale_na2d(q, k, v, kernel_size, scale=None, return_weights=False,
+                     row_block=None):
     """Cross-scale neighborhood attention: HR queries over LR keys/values.
 
     Equivalent to nearest-exact upsampling K/V from (h, w) to Q's (H, W) and
     running :func:`na2d` with dilation (H//h, W//w) — the reference
     CrossAttention data path — but gathers windows directly from the LR grid.
+
+    Large query grids are processed in row blocks (lax.map) so the gathered
+    K/V windows stay bounded; `row_block=None` picks one automatically
+    (~<=256MB of gathered windows per block), `row_block=0` disables
+    blocking.
 
     Args:
       q: (B, H, W, heads, d); k, v: (B, h, w, heads, d).
@@ -91,8 +97,31 @@ def cross_scale_na2d(q, k, v, kernel_size, scale=None, return_weights=False):
     kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    hq, wq = q.shape[1], q.shape[2]
+    b, hq, wq = q.shape[0], q.shape[1], q.shape[2]
     hk, wk = k.shape[1], k.shape[2]
-    idx_h = cross_scale_lr_indices(hq, hk, kh)
-    idx_w = cross_scale_lr_indices(wq, wk, kw)
+    idx_h = jnp.asarray(cross_scale_lr_indices(hq, hk, kh))
+    idx_w = jnp.asarray(cross_scale_lr_indices(wq, wk, kw))
+
+    if row_block is None:
+        win_bytes_per_row = (
+            b * wq * kh * kw * q.shape[3] * (q.shape[4] + v.shape[4]) * 4
+        )
+        limit = 256 * 2 ** 20
+        row_block = max(min(limit // max(win_bytes_per_row, 1), hq), 1)
+    if row_block and row_block < hq and not return_weights:
+        nb = -(-hq // row_block)
+        pad = nb * row_block - hq
+        q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        idx_p = jnp.pad(idx_h, ((0, pad), (0, 0)), mode="edge")
+        q_bands = q_p.reshape(b, nb, row_block, wq, *q.shape[3:]).swapaxes(0, 1)
+        idx_bands = idx_p.reshape(nb, row_block, kh)
+
+        def band(args):
+            qb, ib = args
+            return _na2d_from_indices(qb, k, v, ib, idx_w, scale, False)
+
+        out = jax.lax.map(band, (q_bands, idx_bands))
+        out = out.swapaxes(0, 1).reshape(b, nb * row_block, wq, *out.shape[4:])
+        return out[:, :hq]
+
     return _na2d_from_indices(q, k, v, idx_h, idx_w, scale, return_weights)
