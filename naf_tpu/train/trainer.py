@@ -42,6 +42,7 @@ class TrainConfig:
     batch_size: int = 4  # config/dataloader/train.yaml
     down_factor: str = "fixed"  # "fixed" (0.5) | "random" (U(0.25, 0.60))
     use_bf16: bool = True
+    use_checkpointing: bool = False  # rematerialize the model forward
     log_every: int = 100  # train.py:27 FREQ
     ckpt_every: Optional[int] = None  # default: train_steps // 4
     log_dir: str = "runs/naf"
@@ -49,9 +50,14 @@ class TrainConfig:
     data_axis: str = "data"
 
 
-def make_train_step(model, backbone_apply, tx, use_bf16: bool):
+def make_train_step(model, backbone_apply, tx, use_bf16: bool,
+                    use_checkpointing: bool = False):
     """Returns jit'd (params, opt_state, image_ups, image_back, lr_size) ->
-    (params, opt_state, loss). Static over lr_size (bounded set of sizes)."""
+    (params, opt_state, loss). Static over lr_size (bounded set of sizes).
+
+    use_checkpointing rematerializes the model forward in the backward pass
+    (the TPU analogue of the reference's gradient-checkpointing monkey-patch,
+    utils/training.py:158-184)."""
 
     def step(params, opt_state, image_ups, image_back, lr_size, out_hw, crop_hw):
         dtype = jnp.bfloat16 if use_bf16 else jnp.float32
@@ -66,13 +72,17 @@ def make_train_step(model, backbone_apply, tx, use_bf16: bool):
         # model input image: min(224, 4 * hr_size) (train.py:126)
         img_hr = resize_bilinear(image_ups, crop_hw).astype(dtype)
 
-        def loss_fn(p):
-            p_c = jax.tree.map(lambda a: a.astype(dtype), p)
-            pred = model.apply(
+        def forward(p_c, img_hr, lr_feats):
+            return model.apply(
                 {"params": p_c}, img_hr, lr_feats, out_hw, train=True,
                 rng=jax.random.PRNGKey(0),
             )
-            return mse_loss(pred, hr_feats)
+
+        fwd = jax.checkpoint(forward) if use_checkpointing else forward
+
+        def loss_fn(p):
+            p_c = jax.tree.map(lambda a: a.astype(dtype), p)
+            return mse_loss(fwd(p_c, img_hr, lr_feats), hr_feats)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -113,7 +123,9 @@ def train_upsampler(
 
     tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
     opt_state = tx.init(params)
-    step_fn = make_train_step(model, backbone, tx, cfg.use_bf16)
+    step_fn = make_train_step(
+        model, backbone, tx, cfg.use_bf16, cfg.use_checkpointing
+    )
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
@@ -121,8 +133,8 @@ def train_upsampler(
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
 
-    os.makedirs(cfg.log_dir, exist_ok=True)
-    metrics_path = os.path.join(cfg.log_dir, "metrics.jsonl")
+    log_dir = versioned_dir(cfg.log_dir)
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
     ckpt_every = cfg.ckpt_every or max(cfg.train_steps // 4, 1)
     ps = backbone.patch_size
     losses = []
@@ -165,9 +177,23 @@ def train_upsampler(
                 print(f"step {step}/{cfg.train_steps} loss {loss_v:.5f}")
 
             if (step + 1) % ckpt_every == 0 or step + 1 == cfg.train_steps:
-                save_checkpoint(cfg.log_dir, step + 1, params, opt_state)
+                save_checkpoint(log_dir, step + 1, params, opt_state)
 
     return params
+
+
+def versioned_dir(base: str) -> str:
+    """`base/version_N` with N = max existing + 1 (reference
+    utils/training.py:53-65 logger semantics)."""
+    os.makedirs(base, exist_ok=True)
+    versions = [
+        int(d.split("_")[-1])
+        for d in os.listdir(base)
+        if d.startswith("version_") and d.split("_")[-1].isdigit()
+    ]
+    path = os.path.join(base, f"version_{max(versions, default=-1) + 1}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def save_checkpoint(log_dir: str, step: int, params, opt_state=None):

@@ -17,3 +17,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/naf_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The axon TPU plugin can override JAX_PLATFORMS from the environment;
+# force CPU programmatically so the virtual 8-device mesh is real.
+jax.config.update("jax_platforms", "cpu")

@@ -56,11 +56,11 @@ def test_train_smoke_loss_decreases(tmp_path):
     params = train_upsampler(model, backbone, _image_iter(2, 224), cfg)
     import json
 
-    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    recs = [json.loads(l) for l in open(tmp_path / "version_0" / "metrics.jsonl")]
     assert len(recs) == 6
     assert recs[-1]["loss"] < recs[0]["loss"] * 1.5  # moving, not diverging
 
-    assert (tmp_path / "ckpt_6").exists()  # checkpoint written
+    assert (tmp_path / "version_0" / "ckpt_6").exists()  # checkpoint written
 
 
 def test_train_dp_mesh(tmp_path):

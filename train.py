@@ -69,17 +69,32 @@ def main(argv):
         batch_size=cfg["train_dataloader"]["batch_size"],
         down_factor=cfg.get("down_factor", "fixed"),
         use_bf16=cfg.get("use_bf16", True),
+        use_checkpointing=cfg.get("use_checkpointing", False),
         log_dir=cfg.get("run_dir", "runs/naf"),
     )
     if cfg.get("sanity"):
         tcfg.train_steps = 1
+
+    params = None
+    if cfg.get("model_ckpt"):  # resume / finetune (reference train.py:71-73)
+        ckpt = cfg["model_ckpt"]
+        if ckpt.endswith(".pth"):
+            import jax
+            from naf_tpu.convert import naf_params_from_torch
+
+            params = jax.tree.map(jnp.asarray, naf_params_from_torch(ckpt))
+        else:
+            from naf_tpu.train.trainer import load_checkpoint
+
+            params = load_checkpoint(ckpt, None)["params"]
+        print(f"loaded model checkpoint from {ckpt}")
 
     data = (
         synthetic_images(tcfg.batch_size, tcfg.img_size)
         if synthetic
         else folder_images(cfg)
     )
-    params = train_upsampler(model, backbone, data, tcfg)
+    params = train_upsampler(model, backbone, data, tcfg, params=params)
     print(f"done; checkpoints + metrics in {tcfg.log_dir}")
     return params
 
