@@ -16,7 +16,12 @@ import numpy as np
 
 from naf_tpu.backbones.vit import ViTConfig
 
-__all__ = ["convert_timm_vit", "convert_hf_dinov2", "vit_from_torch"]
+__all__ = [
+    "convert_timm_vit",
+    "convert_hf_dinov2",
+    "convert_hf_dinov3",
+    "vit_from_torch",
+]
 
 
 def _np(t):
@@ -167,6 +172,76 @@ def vit_from_torch(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
     """Auto-detect the checkpoint family and convert."""
     if any(k.startswith("encoder.layer.") for k in state):
         return convert_hf_dinov2(state, num_heads)
+    if any(k.startswith("layer.") and "attention.q_proj" in k for k in state):
+        return convert_hf_dinov3(state, num_heads)
     if any(k.startswith("blocks.") for k in state):
         return convert_timm_vit(state, num_heads)
     raise ValueError("unrecognized ViT checkpoint layout")
+
+
+def convert_hf_dinov3(state: Mapping, num_heads: int, rope_theta: float = 100.0):
+    """HF DINOv3ViTModel state dict -> (flax params, config).
+
+    DINOv3: per-block rotary embeddings (no learned positions), separate
+    q/k/v projections (k without bias), plain-MLP up/down naming.
+    """
+    pe_w = _np(state["embeddings.patch_embeddings.weight"])
+    c, _, ps, _ = pe_w.shape
+    depth = 1 + max(int(k.split(".")[1]) for k in state if k.startswith("layer."))
+    n_reg = _np(state["embeddings.register_tokens"]).shape[1]
+    fc1 = _np(state["layer.0.mlp.up_proj.weight"])
+    cfg = ViTConfig(
+        patch_size=ps,
+        embed_dim=c,
+        depth=depth,
+        num_heads=num_heads,
+        mlp_ratio=fc1.shape[0] / c,
+        num_reg_tokens=n_reg,
+        layerscale=True,
+        ln_eps=1e-5,
+        rope_theta=rope_theta,
+        use_cls_pos=False,
+    )
+
+    params = {
+        "patch_embed": {
+            "kernel": pe_w.transpose(2, 3, 1, 0),
+            "bias": _np(state["embeddings.patch_embeddings.bias"]),
+        },
+        "cls_token": _np(state["embeddings.cls_token"]),
+        "norm": _ln(state, "norm"),
+    }
+    if n_reg:
+        params["reg_tokens"] = _np(state["embeddings.register_tokens"])
+    d = c // num_heads
+    for i in range(depth):
+        p = f"layer.{i}"
+        qkv_w = np.concatenate(
+            [_np(state[f"{p}.attention.{m}_proj.weight"]) for m in ("q", "k", "v")],
+            axis=0,
+        )
+        qkv_b = np.concatenate(
+            [
+                _np(state[f"{p}.attention.{m}_proj.bias"])
+                if f"{p}.attention.{m}_proj.bias" in state
+                else np.zeros(c, np.float32)
+                for m in ("q", "k", "v")
+            ]
+        )
+        params[f"block{i}"] = {
+            "norm1": _ln(state, f"{p}.norm1"),
+            "attn": _attn_from_qkv(
+                qkv_w, qkv_b,
+                _np(state[f"{p}.attention.o_proj.weight"]),
+                _np(state[f"{p}.attention.o_proj.bias"]),
+                num_heads,
+            ),
+            "norm2": _ln(state, f"{p}.norm2"),
+            "fc1": {"kernel": _np(state[f"{p}.mlp.up_proj.weight"]).T,
+                    "bias": _np(state[f"{p}.mlp.up_proj.bias"])},
+            "fc2": {"kernel": _np(state[f"{p}.mlp.down_proj.weight"]).T,
+                    "bias": _np(state[f"{p}.mlp.down_proj.bias"])},
+            "ls1": _np(state[f"{p}.layer_scale1.lambda1"]),
+            "ls2": _np(state[f"{p}.layer_scale2.lambda1"]),
+        }
+    return params, cfg

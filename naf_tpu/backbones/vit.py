@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 __all__ = ["ViT", "ViTConfig"]
@@ -39,6 +40,9 @@ class ViTConfig:
     ln_eps: float = 1e-6
     pos_grid: int = 37  # position-embedding grid side at pretrain time
     use_cls_pos: bool = True  # cls token has its own position embedding
+    # DINOv3 family: rotary position embedding on q/k patch tokens per block
+    # (no learned position embeddings). None disables.
+    rope_theta: Optional[float] = None
 
 
 def _prec(name):
@@ -47,18 +51,48 @@ def _prec(name):
     )[name]
 
 
+def _rope_tables(coords, d_head, theta):
+    """DINOv3 rotary tables: coords (T, 2) in [-1, 1] -> (T, d_head) sin/cos
+    (HF modeling_dinov3_vit.get_patches_center_coordinates semantics; the
+    same axial-RoPE math as naf_tpu.nn.rope)."""
+    import math as _math
+
+    n = d_head // 4
+    inv_freq = 1.0 / (theta ** (2 * np.arange(n, dtype=np.float32) / (d_head // 2)))
+    angles = 2 * _math.pi * coords[:, :, None] * inv_freq[None, None, :]
+    angles = angles.reshape(coords.shape[0], d_head // 2)
+    angles = jnp.tile(angles, (1, 2))
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
     precision: str = "highest"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None, n_prefix=0):
         b, t, c = x.shape
         d = self.dim // self.num_heads
         prec = _prec(self.precision)
         qkv = nn.DenseGeneral((3, self.num_heads, d), precision=prec, name="qkv")(x)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if rope is not None:  # rotate patch tokens only (DINOv3)
+            sin, cos = rope  # (T_patch, d)
+            sin = sin[None, :, None, :].astype(x.dtype)
+            cos = cos[None, :, None, :].astype(x.dtype)
+
+            def rot(a):
+                patch = a[:, n_prefix:]
+                patch = patch * cos + _rotate_half(patch) * sin
+                return jnp.concatenate([a[:, :n_prefix], patch], axis=1)
+
+            q, k = rot(q), rot(k)
         q = q * (d ** -0.5)
         logits = jnp.einsum(
             "bqnd,bknd->bnqk", q, k,
@@ -78,10 +112,12 @@ class Block(nn.Module):
     precision: str = "highest"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None, n_prefix=0):
         prec = _prec(self.precision)
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
-        h = Attention(self.dim, self.num_heads, self.precision, name="attn")(h)
+        h = Attention(self.dim, self.num_heads, self.precision, name="attn")(
+            h, rope=rope, n_prefix=n_prefix
+        )
         if self.layerscale:
             h = h * self.param("ls1", nn.initializers.ones, (self.dim,))
         x = x + h
@@ -113,20 +149,22 @@ class ViT(nn.Module):
         )(x)
         x = x.reshape(b, gh * gw, cfg.embed_dim)
 
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.normal(0.02),
-            (1, (1 if cfg.use_cls_pos else 0) + cfg.pos_grid ** 2, cfg.embed_dim),
-        )
-        cls_pos = pos[:, :1] if cfg.use_cls_pos else None
-        patch_pos = pos[:, 1:] if cfg.use_cls_pos else pos
-        if (gh, gw) != (cfg.pos_grid, cfg.pos_grid):
-            grid = patch_pos.reshape(1, cfg.pos_grid, cfg.pos_grid, cfg.embed_dim)
-            grid = jax.image.resize(
-                grid.astype(jnp.float32), (1, gh, gw, cfg.embed_dim), "bicubic"
-            ).astype(patch_pos.dtype)
-            patch_pos = grid.reshape(1, gh * gw, cfg.embed_dim)
-        x = x + patch_pos
+        cls_pos = None
+        if cfg.rope_theta is None:
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (1, (1 if cfg.use_cls_pos else 0) + cfg.pos_grid ** 2, cfg.embed_dim),
+            )
+            cls_pos = pos[:, :1] if cfg.use_cls_pos else None
+            patch_pos = pos[:, 1:] if cfg.use_cls_pos else pos
+            if (gh, gw) != (cfg.pos_grid, cfg.pos_grid):
+                grid = patch_pos.reshape(1, cfg.pos_grid, cfg.pos_grid, cfg.embed_dim)
+                grid = jax.image.resize(
+                    grid.astype(jnp.float32), (1, gh, gw, cfg.embed_dim), "bicubic"
+                ).astype(patch_pos.dtype)
+                patch_pos = grid.reshape(1, gh * gw, cfg.embed_dim)
+            x = x + patch_pos
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim))
         cls = jnp.broadcast_to(cls, (b, 1, cfg.embed_dim))
@@ -141,12 +179,21 @@ class ViT(nn.Module):
             tokens = [cls, jnp.broadcast_to(reg, (b, cfg.num_reg_tokens, cfg.embed_dim)), x]
         x = jnp.concatenate(tokens, axis=1)
 
+        n_prefix = 1 + cfg.num_reg_tokens
+        rope = None
+        if cfg.rope_theta is not None:
+            ch = (np.arange(gh, dtype=np.float32) + 0.5) / gh
+            cw = (np.arange(gw, dtype=np.float32) + 0.5) / gw
+            coords = np.stack(np.meshgrid(ch, cw, indexing="ij"), -1).reshape(-1, 2)
+            coords = 2.0 * coords - 1.0
+            rope = _rope_tables(coords, cfg.embed_dim // cfg.num_heads,
+                                cfg.rope_theta)
+
         for i in range(cfg.depth):
             x = Block(
                 cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                 cfg.layerscale, cfg.ln_eps, cfg.precision, name=f"block{i}",
-            )(x)
+            )(x, rope=rope, n_prefix=n_prefix)
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
-        n_prefix = 1 + cfg.num_reg_tokens
         return x[:, n_prefix:].reshape(b, gh, gw, cfg.embed_dim)

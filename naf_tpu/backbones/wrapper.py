@@ -117,6 +117,10 @@ class PretrainedViTWrapper:
                 num_heads=heads,
                 pos_grid=self.config["input_size"][1] // self.patch_size,
                 precision=precision,
+                # DINOv3 family: rotary positions, 4 register tokens
+                rope_theta=100.0 if "dinov3" in name else None,
+                num_reg_tokens=4 if "dinov3" in name else 0,
+                use_cls_pos="dinov3" not in name,
             )
             model = ViT(self.vit_config)
             # param shapes don't depend on input size (pos grid is config)

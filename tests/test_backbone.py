@@ -68,3 +68,35 @@ def test_wrapper_random_init_contract():
     feats = w(img)
     assert feats.shape == (1, 4, 4, 384)
     assert w.config["mean"] == (0.485, 0.456, 0.406)
+
+
+def test_vit_matches_hf_dinov3():
+    """DINOv3 family: per-block RoPE, no learned positions."""
+    from transformers import DINOv3ViTConfig, DINOv3ViTModel
+
+    from naf_tpu.backbones.convert import convert_hf_dinov3
+
+    cfg = DINOv3ViTConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=256,
+        patch_size=16,
+        image_size=64,
+        num_register_tokens=2,
+        rope_theta=100.0,
+    )
+    torch.manual_seed(1)
+    model = DINOv3ViTModel(cfg)
+    model.eval()
+    x = np.random.RandomState(2).randn(2, 3, 64, 48).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(x)).last_hidden_state  # (B, 1+R+N, C)
+    want = out[:, 3:].numpy().reshape(2, 4, 3, 64)
+
+    params, vcfg = convert_hf_dinov3(dict(model.state_dict()), num_heads=2)
+    assert vcfg.rope_theta == 100.0 and vcfg.num_reg_tokens == 2
+    got = ViT(vcfg).apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
