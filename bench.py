@@ -11,7 +11,6 @@ and the bare fused-NA kernel time at the default config.
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp

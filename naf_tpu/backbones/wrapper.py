@@ -20,7 +20,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from naf_tpu.backbones.vit import ViT, ViTConfig
 from naf_tpu.backbones.convert import vit_from_torch

@@ -22,7 +22,7 @@ import datetime
 import importlib
 import os
 import re
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Iterable, Optional
 
 import yaml
 

@@ -8,7 +8,7 @@ numpy arrays ready for jnp.asarray.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 from PIL import Image

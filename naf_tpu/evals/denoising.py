@@ -8,8 +8,6 @@ NHWC. The training/validation drivers live in naf_tpu.train/naf_tpu.cli.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,14 +11,14 @@ micro-average over valid pixels, eval_seg_probing.py:54-55,221-257).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from naf_tpu.ops.resize import resize_bilinear, resize_nearest_exact
+from naf_tpu.ops.resize import resize_bilinear
 
 IGNORE = 255
 

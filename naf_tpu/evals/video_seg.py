@@ -14,13 +14,11 @@ mean/recall/decay statistics follow the vendored DAVIS evaluator
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from naf_tpu.ops.resize import resize_bilinear
 
 __all__ = [
     "restrict_neighborhood",

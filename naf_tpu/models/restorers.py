@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from naf_tpu.ops.resize import resize_bilinear

@@ -15,7 +15,6 @@ Implementations:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from naf_tpu.ops.na2d import cross_scale_na2d

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from naf_tpu.ops.window import cross_scale_lr_indices, na_gather_indices
 

@@ -19,7 +19,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Callable, Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ colors are comparable across panels) and returns [0,1] RGB images;
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -1,0 +1,75 @@
+"""Banded attention exactness (interpret kernel), mesh-sharded inference
+parity, and adaptive-conv correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naf_tpu.kernels.na2d_fused import cross_scale_na2d_fused
+from naf_tpu.ops import cross_scale_na2d
+from naf_tpu.ops.adaptive_conv import adaptive_conv, reflect_pad2d
+
+
+def test_banded_kernel_matches_full():
+    rng = np.random.RandomState(0)
+    hq = wq = 48
+    q = jnp.asarray(rng.randn(1, hq, wq, 2, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 12, 12, 2, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 12, 12, 2, 24).astype(np.float32))
+    want = cross_scale_na2d(q, k, v, 5)
+    bands = [
+        cross_scale_na2d_fused(
+            q[:, i : i + 16], k, v, 5, interpret=True,
+            row_cell0=i // 4, full_hq=hq,
+        )
+        for i in range(0, hq, 16)
+    ]
+    got = jnp.concatenate(bands, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_blocked_oracle_matches_full():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, 36, 40, 2, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 12, 10, 2, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 12, 10, 2, 24).astype(np.float32))
+    full = cross_scale_na2d(q, k, v, 5, row_block=0)
+    blocked = cross_scale_na2d(q, k, v, 5, row_block=7)  # non-divisor pad
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(blocked), atol=1e-6
+    )
+
+
+def test_mesh_sharded_inference_matches_unsharded():
+    from naf_tpu.models import NAF
+    from naf_tpu.parallel import make_mesh, pjit_upsample
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    model = NAF(dim=32, heads_attn=2, heads_rope=2, kernel_size=5,
+                img_layers=1, na_impl="xla")
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(4, 16, 16, 32).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img[:1], feats[:1], (64, 64))[
+        "params"
+    ]
+    mesh = make_mesh(data=4, space=2)
+    out = pjit_upsample(mesh, model)(params, img, feats, (64, 64))
+    ref = model.apply({"params": params}, img, feats, (64, 64))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_adaptive_conv_matches_direct():
+    rng = np.random.RandomState(2)
+    src = rng.randn(2, 10, 11, 5).astype(np.float32)
+    kern = rng.rand(2, 10, 11, 3, 3).astype(np.float32)
+    padded = reflect_pad2d(jnp.asarray(src), 1)
+    got = np.asarray(adaptive_conv(padded, jnp.asarray(kern)))
+    want = np.zeros_like(src)
+    pn = np.asarray(padded)
+    for i in range(3):
+        for j in range(3):
+            want += pn[:, i : i + 10, j : j + 11] * kern[:, :, :, i, j, None]
+    np.testing.assert_allclose(got, want, atol=1e-5)
