@@ -163,13 +163,18 @@ def run_sweep(
                     dtype=dtype, backward=backward,
                 )
             except NotImplementedError as e:
-                rec = {"model": name, **cfg, "error": str(e)[:120]}
+                rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
+                       "error": str(e)[:120]}
             except Exception as e:
-                rec = {"model": name, **cfg, "error": str(e)[:200]}
+                rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
+                       "error": str(e)[:200]}
             rec["factor"] = factor
             results.append(rec)
             print("  ->", {k: rec.get(k) for k in
                            ("fwd_ms", "bwd_ms", "fwd_mem_mb", "gflops", "error")})
+            # drop compiled executables + live buffers between models so big
+            # configs don't inherit earlier models' HBM footprint
+            jax.clear_caches()
     key = lambda r: (r.get("model"), r.get("factor"), r.get("img_size"),
                      r.get("embed_dim"), r.get("ratio"), r.get("lr_size"),
                      r.get("dtype"))
