@@ -51,16 +51,24 @@ class TrainConfig:
 
 
 def make_train_step(model, backbone_apply, tx, use_bf16: bool,
-                    use_checkpointing: bool = False):
-    """Returns jit'd (params, opt_state, image_ups, image_back, lr_size) ->
-    (params, opt_state, loss). Static over lr_size (bounded set of sizes).
+                    use_checkpointing: bool = False, seed: int = 0):
+    """Returns jit'd (params, opt_state, image_ups, image_back, step_idx,
+    lr_size, out_hw, crop_hw) -> (params, opt_state, loss). Static over
+    lr_size (bounded set of sizes); step_idx is traced so no recompiles.
+
+    The RoPE coordinate augmentation key is derived per step by folding
+    step_idx into PRNGKey(seed) — the reference resamples augmentations every
+    forward (src/layers/rope.py:107-124), which is what NAF's zero-shot scale
+    generalization relies on.
 
     use_checkpointing rematerializes the model forward in the backward pass
     (the TPU analogue of the reference's gradient-checkpointing monkey-patch,
     utils/training.py:158-184)."""
 
-    def step(params, opt_state, image_ups, image_back, lr_size, out_hw, crop_hw):
+    def step(params, opt_state, image_ups, image_back, step_idx, lr_size,
+             out_hw, crop_hw):
         dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
 
         # frozen backbone targets (no_grad; train.py:123)
         hr_feats = backbone_apply(image_back.astype(dtype))
@@ -75,7 +83,7 @@ def make_train_step(model, backbone_apply, tx, use_bf16: bool,
         def forward(p_c, img_hr, lr_feats):
             return model.apply(
                 {"params": p_c}, img_hr, lr_feats, out_hw, train=True,
-                rng=jax.random.PRNGKey(0),
+                rng=step_rng,
             )
 
         fwd = jax.checkpoint(forward) if use_checkpointing else forward
@@ -90,6 +98,11 @@ def make_train_step(model, backbone_apply, tx, use_bf16: bool,
         return params, opt_state, loss
 
     return jax.jit(step, static_argnames=("lr_size", "out_hw", "crop_hw"))
+
+
+def fold_step_key(seed: int, step: int) -> jax.Array:
+    """The per-step augmentation key the train step derives internally."""
+    return jax.random.fold_in(jax.random.PRNGKey(seed), step)
 
 
 def train_upsampler(
@@ -124,7 +137,7 @@ def train_upsampler(
     tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
     opt_state = tx.init(params)
     step_fn = make_train_step(
-        model, backbone, tx, cfg.use_bf16, cfg.use_checkpointing
+        model, backbone, tx, cfg.use_bf16, cfg.use_checkpointing, seed=cfg.seed
     )
 
     if mesh is not None:
@@ -160,7 +173,8 @@ def train_upsampler(
                 x_back = jax.device_put(x_back, shard)
 
             params, opt_state, loss = step_fn(
-                params, opt_state, x_ups, x_back, lr_size, hr_hw, crop_hw
+                params, opt_state, x_ups, x_back, jnp.int32(step),
+                lr_size, hr_hw, crop_hw
             )
 
             if step % cfg.log_every == 0:

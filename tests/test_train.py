@@ -11,7 +11,9 @@ from naf_tpu.backbones import PretrainedViTWrapper
 from naf_tpu.models import NAF
 from naf_tpu.train.losses import Loss, mse_loss
 from naf_tpu.train.distill import round_to_nearest_multiple, sample_lr_size
-from naf_tpu.train.trainer import TrainConfig, train_upsampler, load_checkpoint
+from naf_tpu.train.trainer import (
+    TrainConfig, make_train_step, train_upsampler, load_checkpoint,
+)
 
 
 def test_loss_semantics():
@@ -61,6 +63,39 @@ def test_train_smoke_loss_decreases(tmp_path):
     assert recs[-1]["loss"] < recs[0]["loss"] * 1.5  # moving, not diverging
 
     assert (tmp_path / "version_0" / "ckpt_6").exists()  # checkpoint written
+
+
+def test_train_step_resamples_rope_augmentation():
+    """Two steps from identical state must apply different coordinate
+    augmentations (reference resamples per forward, src/layers/rope.py:107-124).
+    With a constant key the losses below would be bit-identical."""
+    import optax
+
+    backbone = PretrainedViTWrapper(
+        "vit_small_patch14_dinov2.lvd142m", num_heads=2
+    )
+    model = NAF(dim=32, heads_attn=2, heads_rope=2, kernel_size=5, img_layers=1,
+                na_impl="xla")  # rope_rescale defaults to 2.0 (augmented)
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 224, 224, 3).astype(np.float32)
+    init = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 8, 8, backbone.embed_dim)),
+        (64, 64),
+    )["params"]
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(init)
+    step_fn = make_train_step(model, backbone, tx, use_bf16=False, seed=0)
+
+    x = jnp.asarray(img)
+    args = (init, opt_state, x, x)
+    hr_hw = (224 // backbone.patch_size, 224 // backbone.patch_size)
+    kw = dict(lr_size=(112, 112), out_hw=hr_hw, crop_hw=(224, 224))
+    _, _, loss0 = step_fn(*args, jnp.int32(0), **kw)
+    _, _, loss1 = step_fn(*args, jnp.int32(1), **kw)
+    _, _, loss0b = step_fn(*args, jnp.int32(0), **kw)
+    assert float(loss0) != float(loss1), "augmentation key constant across steps"
+    assert float(loss0) == float(loss0b), "step key not deterministic"
 
 
 def test_train_dp_mesh(tmp_path):
