@@ -15,18 +15,29 @@ Two-stage design:
    MB — while the big arrays (Q, out, and the reference's upsampled K/V, an
    O(H*W*dim) memory tax) are never gathered or materialized at HR.
 
-2. The Pallas kernel runs one program per (batch, cell block), all heads
-   unrolled inside (the Q/out tiles are shared across head iterations and the
-   per-program overhead is amortized 4x):
-     logits = Q tile (BCh*r, BCw*r, d) @ K tile^T on the MXU (f32 accum)
+2. The Pallas kernel runs one program per (batch, cell block):
+     logits = Q tile @ K tile^T on the MXU (f32 accum)
      + additive window mask (each query sees exactly its own k x k cells)
      f32 softmax; out = P @ V tile on the MXU.
-   Everything is BlockSpec-pipelined — no dynamic slicing, which Mosaic
-   restricts for sub-128 lane dims like d=64.
+   Queries are processed in row-chunks to bound the f32 logits buffer.
+
+Layout rules (the hard-won part). The big arrays stay FLAT NHWC end to end:
+Q blocks are (1, bh, bw, n*d) and out blocks (1, bh, bw, n*dv) — lane dims
+that are multiples of 128, so no transposes and no (8,128)-tile padding.
+(Head-split 5-D layouts like (B, H, W, 4, 64) pay 2-4x HBM padding at 2K+
+resolutions, and head-major transposes cost two full passes over HBM.)
+Per-head lane slicing at d=64 offsets is not Mosaic-legal, so heads are
+processed in GROUPS of g = lcm(d,128)/d: the q slice [p*g*d, (p+1)*g*d) is
+128-aligned, and K union tiles are assembled host-side as a block-diagonal
+(g*nc_pad, g*d) matrix per group — one full-MXU-depth matmul yields the g
+heads' logits side by side, bit-exact, with zero FLOP waste relative to the
+lane-padded per-head alternative. nc is padded to a 128 multiple with zero
+rows (masked out) so per-head softmax/AV slices are 128-aligned too.
 
 The masked-union formulation trades a small FLOP overcount
-((BC+k-1)^2 / k^2) for pure-MXU compute with zero in-kernel gathers.
-Queries are processed in row-chunks to bound the f32 logits buffer.
+((BC+k-1)^2 / k^2, lane-padded) for pure-MXU compute with zero in-kernel
+gathers; the block picker's cost model balances that against per-program
+overhead, Q/out HBM traffic, and VMEM.
 """
 
 from __future__ import annotations
@@ -51,39 +62,67 @@ def _valid_bcs(r: int, l: int, kernel: int):
     return [bc for bc in range(m, max(max_bc, m) + 1, m) if bc + kernel - 1 <= l]
 
 
+def _head_group(n: int, d: int):
+    """Heads per in-kernel group: smallest g dividing n with g*d a lane
+    multiple (128), so the q slice for a group is Mosaic-aligned. Falls back
+    to g=n (single group, no slicing) when no such g exists or C <= 128."""
+    if (n * d) <= 128:
+        return n
+    for g in range(1, n + 1):
+        if n % g == 0 and (g * d) % 128 == 0:
+            return g
+    return n
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
 @functools.lru_cache(maxsize=512)
 def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
                      vmem_budget=10 * 2 ** 20):
     """Choose (bc_h, bc_w) by a simple static cost model.
 
     Cost per program = fixed overhead + Q/out tile HBM time + MXU time with
-    lane-padded Nc; minimized over the valid bc grid under a VMEM budget.
+    lane-padded Nc + VPU softmax time; minimized over the valid bc grid
+    under a VMEM budget.
     """
     cands_h = _valid_bcs(r_h, hk, kernel)
     cands_w = _valid_bcs(r_w, wk, kernel)
     if not cands_h or not cands_w:
         return None
+    g = _head_group(n, d)
     overhead_s = 3e-6
     hbm_bps = 6e11
     mxu_flops = 1.2e14 if itemsize <= 2 else 4e13
+    vpu_ops = 3e12
+    gd_eff = _pad128(g * d)
+    dv_eff = _pad128(dv)
     best, best_cost = None, None
     for bc_h in cands_h:
         for bc_w in cands_w:
             bh, bw = bc_h * r_h, bc_w * r_w
+            cq = bh * bw
             nc = (bc_h + kernel - 1) * (bc_w + kernel - 1)
-            nc_eff = -(-nc // 128) * 128  # lane padding
-            d_eff = max(-(-d // 128) * 128, 128)
-            # VMEM: double-buffered q/out tiles + k/v tiles + logits
-            tile_bytes = bh * bw * n * (d_eff + dv) * itemsize * 2
-            logit_bytes = min(bh * bw, 4096 // max(bw // 256, 1)) * nc_eff * 4
-            kv_bytes = nc_eff * n * (d_eff + dv) * itemsize
+            nc_pad = _pad128(nc)
+            ll = g * nc_pad  # logits lanes per group
+            # VMEM: double-buffered q/out tiles + k2/v tiles + f32 logits
+            tile_bytes = cq * n * (d + dv) * itemsize * 2
+            chunk_q = min(cq, (2_500_000 // 4) // max(ll, 1))
+            logit_bytes = max(chunk_q, bw) * ll * 4
+            kv_bytes = (n // g) * ll * gd_eff * itemsize + n * nc_pad * dv_eff * itemsize
             if tile_bytes + logit_bytes + kv_bytes > vmem_budget:
                 continue
             programs = -(-hk // bc_h) * -(-wk // bc_w)
-            flops = 2 * bh * bw * n * nc_eff * (d_eff + dv)
-            bytes_moved = bh * bw * n * (d + dv) * itemsize
+            qk_flops = (n // g) * 2 * cq * gd_eff * ll
+            av_flops = n * 2 * cq * nc_pad * dv_eff
+            softmax_ops = 8 * n * cq * nc_pad  # exp/max/sum/div passes
+            bytes_moved = cq * n * (d + dv) * itemsize
             cost = programs * (
-                overhead_s + bytes_moved / hbm_bps + flops / mxu_flops
+                overhead_s
+                + bytes_moved / hbm_bps
+                + (qk_flops + av_flops) / mxu_flops
+                + softmax_ops / vpu_ops
             )
             if best_cost is None or cost < best_cost:
                 best, best_cost = (bc_h, bc_w), cost
@@ -157,20 +196,20 @@ def _scatter_union_tiles(d_tiles, hk, wk, bc_h, bc_w, kernel,
 
 
 def _kernel(
-    q_ref,  # (1, n, BH, BW, d) VMEM, head-major
-    k_ref,  # (1, 1, 1, n, Nc, d) VMEM union tile
-    v_ref,  # (1, 1, 1, n, Nc, dv) VMEM union tile
-    o_ref,  # (1, n, BH, BW, dv) VMEM
+    q_ref,  # (1, BH, BW, n*d) VMEM, flat NHWC
+    k2_ref,  # (1, 1, 1, P*g*nc_pad, g*d) VMEM block-diag union tiles
+    v_ref,  # (1, 1, 1, n, nc_pad, dv) VMEM union tiles
+    o_ref,  # (1, BH, BW, n*dv) VMEM, flat NHWC
     *,
     kernel_size: int,
     num_heads: int,
+    group: int,
     r_h: int,
     r_w: int,
     bc_h: int,
     bc_w: int,
     hk: int,
     wk: int,
-    scale: float,
     chunk_rows: int,
     cell_row0: int,
 ):
@@ -185,9 +224,13 @@ def _kernel(
 
     bh = bc_h * r_h  # query rows in tile
     bw = bc_w * r_w
-    d = q_ref.shape[-1]
+    g = group
+    n_groups = num_heads // g
     dv = v_ref.shape[-1]
+    gd = g * (q_ref.shape[-1] // num_heads)
     nc = kb_h * kb_w
+    nc_pad = v_ref.shape[-2]
+    ll = g * nc_pad  # logits lanes per group
 
     n_chunks = bh // chunk_rows
     cq = chunk_rows * bw  # queries per chunk
@@ -205,56 +248,154 @@ def _kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    # Flat (C, Nc) window mask from 2-D iotas (no reshapes — Mosaic-friendly).
-    # Flat query p = (i_local, j_local); flat tile cell c = (t, s). Query cell
-    # ci attends tile rows [ws, ws+k), ws = clamp(ci - k//2, 0, hk - k) - row0.
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (cq, nc), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (cq, nc), 1)
-    i_loc = rows_i // bw
-    j_loc = rows_i - i_loc * bw
-    t_idx = cols_i // kb_w
-    s_idx = cols_i - t_idx * kb_w
+    # Window mask via broadcast outer products. Lane c holds tile cell
+    # (c % nc_pad) of head (c // nc_pad) within the group — all heads share
+    # one window rule. Query cell ci attends tile rows [ws, ws+k),
+    # ws = clamp(ci - k//2, 0, hk - k) - row0. Lanes >= nc are zero padding.
+    # Lane-only terms live on a (1, ll) vector and row-only terms on a
+    # (cq, 1) column: the expensive integer div/mod runs on tiny vectors and
+    # only the final broadcast compares touch full (cq, ll) tiles. (Building
+    # everything on (cq, ll) iotas costs ~2x the whole kernel at 2K^2.)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, ll), 1)
+    col_in = lane % nc_pad
+    t_idx = col_in // kb_w  # tile cell row of this lane
+    s_idx = col_in - t_idx * kb_w  # tile cell col of this lane
+    pad_ok = col_in < nc
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0)
+    i_loc = rows_c // bw  # query row within chunk
+    j_loc = rows_c - i_loc * bw  # query col within tile
     cell_w = cj0 + j_loc // r_w
-    ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
-    ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)
+    ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0  # (cq, 1)
+    ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk) & pad_ok  # (cq, ll)
 
-    def body(c, _):
+    # Chunks are a static Python loop and all QK matmuls are issued before
+    # any softmax/AV: independent MXU work lets Mosaic overlap the MXU with
+    # the VPU softmax instead of serializing QK -> softmax -> AV per head.
+    for c in range(n_chunks):
         row_start = c * chunk_rows
         # chunk_rows is a multiple of r_h, so the chunk starts on a cell row.
-        cell_h = ci0 + c * (chunk_rows // r_h) + i_loc // r_h
+        cell_h = ci0 + c * (chunk_rows // r_h) + i_loc // r_h  # (cq, 1)
         ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
         ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
         bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
 
-        for h in range(num_heads):  # static unroll; q/out tiles shared
-            k_mat = k_ref[0, 0, 0, h]  # (Nc, d)
-            v_mat = v_ref[0, 0, 0, h]
-            q_mat = q_ref[0, h, pl.ds(row_start, chunk_rows), :, :].reshape(cq, d)
-            logits = jax.lax.dot_general(
-                q_mat,
-                k_mat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec_qk,
-            ) * scale + bias  # (C, Nc)
-
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-
-            out = jax.lax.dot_general(
-                p.astype(v_mat.dtype),
-                v_mat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec_av,
+        logits_all = []
+        for p in range(n_groups):  # static unroll
+            # 128-aligned lane slice: this group's g heads of q.
+            # (scale is folded into the K tiles host-side.)
+            q_mat = q_ref[
+                0, pl.ds(row_start, chunk_rows), :, p * gd : (p + 1) * gd
+            ].reshape(cq, gd)
+            k2 = k2_ref[0, 0, 0, p * ll : (p + 1) * ll, :]  # (ll, gd)
+            logits_all.append(
+                jax.lax.dot_general(
+                    q_mat,
+                    k2,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec_qk,
+                ) + bias  # (cq, ll) = g heads' logits side by side
             )
-            o_ref[0, h, pl.ds(row_start, chunk_rows), :, :] = out.reshape(
-                chunk_rows, bw, dv
-            ).astype(o_ref.dtype)
-        return _
 
-    jax.lax.fori_loop(0, n_chunks, body, None)
+        outs = []
+        for p in range(n_groups):
+            for j in range(g):
+                h = p * g + j
+                lj = logits_all[p][:, j * nc_pad : (j + 1) * nc_pad]
+                m = jnp.max(lj, axis=-1, keepdims=True)
+                e = jnp.exp(lj - m)
+                pn = e / jnp.sum(e, axis=-1, keepdims=True)
+                v_mat = v_ref[0, 0, 0, h]  # (nc_pad, dv)
+                outs.append(
+                    jax.lax.dot_general(
+                        pn.astype(v_mat.dtype),
+                        v_mat,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec_av,
+                    )
+                )
+        out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        o_ref[0, pl.ds(row_start, chunk_rows), :, :] = out.reshape(
+            chunk_rows, bw, num_heads * dv
+        ).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=512)
+def _tile_index_tables(hk, wk, n, g, bc_h, bc_w, kernel, cell0_h, n_cells_h):
+    """Host-side int32 gather tables for single-pass tile construction.
+
+    Returns (k2_idx, v_idx):
+      k2_idx (nCH, nCW, P*g*nc_pad): row index into the block-diag-expanded
+        key source (hk*wk*P*g rows + trailing zero row) for every K2 tile row.
+      v_idx (nCH, nCW, n, nc_pad): row index into the flat (hk*wk*n + 1)
+        value source (last row zero) for every V tile row.
+    """
+    kb_h = bc_h + kernel - 1
+    kb_w = bc_w + kernel - 1
+    nc = kb_h * kb_w
+    nc_pad = _pad128(nc)
+    p_groups = n // g
+    row0 = _tile_origins(hk, bc_h, kernel, cell0_h, n_cells_h)  # (nCH,)
+    col0 = _tile_origins(wk, bc_w, kernel)  # (nCW,)
+    n_ch, n_cw = len(row0), len(col0)
+
+    t = np.arange(nc_pad) // kb_w  # tile cell row per padded slot
+    ss = np.arange(nc_pad) % kb_w
+    valid = np.arange(nc_pad) < nc
+    cell_r = row0[:, None] + t[None, :]  # (nCH, nc_pad)
+    cell_c = col0[:, None] + ss[None, :]  # (nCW, nc_pad)
+
+    # K source rows are (hk, wk, P, g) flattened; zero row appended at the end.
+    zero_k = hk * wk * p_groups * g
+    base = (
+        cell_r[:, None, None, None, :] * wk + cell_c[None, :, None, None, :]
+    )  # (nCH, nCW, 1, 1, nc_pad)
+    head = (
+        np.arange(p_groups)[None, None, :, None, None] * g
+        + np.arange(g)[None, None, None, :, None]
+    )
+    k2_idx = np.where(valid, base * (p_groups * g) + head, zero_k)
+    k2_idx = k2_idx.reshape(n_ch, n_cw, p_groups * g * nc_pad)
+
+    zero_v = hk * wk * n
+    v_idx = np.where(
+        valid,
+        base.reshape(n_ch, n_cw, 1, nc_pad) * n
+        + np.arange(n)[None, None, :, None],
+        zero_v,
+    )
+    # numpy (not jnp): jnp constants created under a trace leak tracers
+    # through the lru_cache; callers convert at use site.
+    return k2_idx.astype(np.int32), v_idx.astype(np.int32)
+
+
+def _build_tiles(k, v, g, bc_h, bc_w, kernel, cell0_h, n_cells_h):
+    """Single-gather construction of the block-diag K2 and V union tiles.
+
+    K is first expanded row-wise into (hk*wk*P, g, g*d): head j of a group
+    occupies lanes [j*d, (j+1)*d) of its row, zeros elsewhere (a broadcast
+    multiply with eye(g) — one pass over a few MB). One gather then builds
+    each tile in a single pass over its final bytes; the multi-op
+    take/transpose/pad/concat alternative costs several full passes over the
+    (potentially hundreds of MB) expanded tiles and dominated kernel time.
+    """
+    b, hk, wk, n, d = k.shape
+    dv = v.shape[-1]
+    p_groups = n // g
+    k2_idx, v_idx = _tile_index_tables(
+        hk, wk, n, g, bc_h, bc_w, kernel, cell0_h, n_cells_h
+    )
+
+    eye = jnp.eye(g, dtype=k.dtype)  # (g_head, g_lane)
+    kr = k.reshape(b, hk * wk, p_groups, g, 1, d)
+    ksrc = (kr * eye[:, :, None]).reshape(b, hk * wk * p_groups * g, g * d)
+    ksrc = jnp.pad(ksrc, ((0, 0), (0, 1), (0, 0)))  # trailing zero row
+    k2 = jnp.take(ksrc, jnp.asarray(k2_idx), axis=1)  # (b,nCH,nCW,P*g*nc_pad,g*d)
+
+    vsrc = jnp.pad(v.reshape(b, hk * wk * n, dv), ((0, 0), (0, 1), (0, 0)))
+    vt = jnp.take(vsrc, jnp.asarray(v_idx), axis=1)  # (b, nCH, nCW, n, nc_pad, dv)
+    return k2, vt
 
 
 def cross_scale_na2d_fused(
@@ -263,10 +404,9 @@ def cross_scale_na2d_fused(
 ):
     """Fused cross-scale NA. q: (B, H, W, n, d); k: (B, h, w, n, d);
     v: (B, h, w, n, dv). Requires exact integer ratios (H == r_h*h etc.) and
-    `fused_applicable(...)`. Returns (B, H, W, n, dv). Differentiable: the
-    backward pass runs through the XLA oracle (training-time output grids are
-    small in NAF's distillation scheme — train.py:123-127 predicts at the HR
-    *feature* resolution — so the oracle VJP is cheap there).
+    `fused_applicable(...)`. Returns (B, H, W, n, dv). Differentiable via a
+    Pallas recompute-P (flash-style) backward kernel (`_fused_bwd_impl`);
+    gradients match jax.grad of the oracle (tests/test_kernel_fused.py).
 
     Banded execution: q may hold only rows [row_cell0 * r_h, ...) of a
     full_hq-tall query grid; windows are computed against the global grid.
@@ -551,27 +691,30 @@ def _fused_fwd_impl(
     kb_h = bc_h + kk - 1
     kb_w = bc_w + kk - 1
     nc = kb_h * kb_w
+    g = _head_group(n, d)
+    nc_pad = _pad128(nc)
 
     # chunk_rows: multiple of r_h (so in-kernel cell math is exact), sized to
-    # keep the f32 logits chunk (chunk_rows * bw * Nc) around <= 2.5 MB.
-    budget_rows = max((2_500_000 // 4) // max(nc * bw, 1), 1)
+    # keep the f32 logits chunk (chunk_rows * bw * g * nc_pad) <= ~2.5 MB.
+    budget_rows = max((2_500_000 // 4) // max(g * nc_pad * bw, 1), 1)
     chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
     while bh % chunk_rows:
         chunk_rows -= r_h
 
-    # Stage 1: union K/V tiles, (B, nCH, nCW, n, Nc, d).
-    k_tiles = _gather_union_tiles(
-        k.reshape(b, hk, wk, n * d), bc_h, bc_w, kk, row_cell0, band_cells
+    # Stage 1: union K/V tiles; K as per-group block-diagonal matrices,
+    # each built by a single gather (see _build_tiles). The softmax scale is
+    # folded into K here (exact in f32; for bf16 the one extra rounding is
+    # far below the dtype's own noise) so the kernel saves a full-size
+    # multiply over the f32 logits.
+    k_scaled = (k.astype(jnp.float32) * float(scale)).astype(k.dtype)
+    k2_tiles, v_tiles = _build_tiles(
+        k_scaled, v, g, bc_h, bc_w, kk, row_cell0, band_cells
     )
-    v_tiles = _gather_union_tiles(
-        v.reshape(b, hk, wk, n * dv), bc_h, bc_w, kk, row_cell0, band_cells
-    )
-    k_tiles = jnp.swapaxes(k_tiles.reshape(b, n_ch, n_cw, nc, n, d), 3, 4)
-    v_tiles = jnp.swapaxes(v_tiles.reshape(b, n_ch, n_cw, nc, n, dv), 3, 4)
 
-    # Head-major Q/out: under jit these transposes fuse into the elementwise
-    # producers/consumers (RoPE etc.); only an isolated call pays for them.
-    q_hm = jnp.transpose(q, (0, 3, 1, 2, 4))
+    # Q and out stay flat NHWC: the 5-D (B,H,W,n,d) view is contiguous with
+    # the 4-D (B,H,W,n*d) flat layout, so these reshapes are bitcasts and no
+    # transpose or tile-padded layout ever materializes at HR.
+    q_flat = q.reshape(b, hq, wq, n * d)
 
     grid = (b, n_ch, n_cw)
 
@@ -580,51 +723,41 @@ def _fused_fwd_impl(
             _kernel,
             kernel_size=kk,
             num_heads=n,
+            group=g,
             r_h=r_h,
             r_w=r_w,
             bc_h=bc_h,
             bc_w=bc_w,
             hk=hk,
             wk=wk,
-            scale=float(scale),
             chunk_rows=chunk_rows,
             cell_row0=row_cell0,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, n, bh, bw, d),
-                lambda bb, ii, jj: (bb, 0, ii, jj, 0),
+                (1, bh, bw, n * d),
+                lambda bb, ii, jj: (bb, ii, jj, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, n, nc, d),
-                lambda bb, ii, jj: (bb, ii, jj, 0, 0, 0),
+                (1, 1, 1, (n // g) * g * nc_pad, g * d),
+                lambda bb, ii, jj: (bb, ii, jj, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, n, nc, dv),
+                (1, 1, 1, n, nc_pad, dv),
                 lambda bb, ii, jj: (bb, ii, jj, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n, bh, bw, dv),
-            lambda bb, ii, jj: (bb, 0, ii, jj, 0),
+            (1, bh, bw, n * dv),
+            lambda bb, ii, jj: (bb, ii, jj, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, hq, wq, dv), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * hq * wq * nc * (d + dv),
-            bytes_accessed=(
-                q.size * q.dtype.itemsize
-                + k_tiles.size * k.dtype.itemsize
-                + v_tiles.size * v.dtype.itemsize
-                + b * hq * wq * n * dv * q.dtype.itemsize
-            ),
-            transcendentals=b * n * hq * wq * nc,
-        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, wq, n * dv), q.dtype),
         interpret=interpret,
-    )(q_hm, k_tiles, v_tiles)
+    )(q_flat, k2_tiles, v_tiles)
 
-    return jnp.transpose(out, (0, 2, 3, 1, 4))
+    return out.reshape(b, hq, wq, n, dv)
