@@ -14,6 +14,7 @@ Layout is channels-last: x is (B, H, W, dim) with dim = num_heads * D_head.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -54,8 +55,9 @@ def rope_periods(
     )
 
 
-def _normalized_coords(h: int, w: int, mode: str) -> np.ndarray:
-    """(h, w, 2) coordinates in [-1, 1] (reference rope.py:89-105)."""
+def _axis_coords(h: int, w: int, mode: str):
+    """Per-axis coordinates in [-1, 1] (reference rope.py:89-105): the 2-D
+    grid is the outer product of these, so it never needs materializing."""
     if mode == "max":
         denom_h = denom_w = max(h, w)
     elif mode == "min":
@@ -64,10 +66,31 @@ def _normalized_coords(h: int, w: int, mode: str) -> np.ndarray:
         denom_h, denom_w = h, w
     else:
         raise ValueError(f"Unknown normalize_coords: {mode}")
-    ch = (np.arange(h, dtype=np.float32) + 0.5) / denom_h
-    cw = (np.arange(w, dtype=np.float32) + 0.5) / denom_w
-    coords = np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1)  # (h, w, 2)
-    return 2.0 * coords - 1.0
+    ch = 2.0 * (np.arange(h, dtype=np.float32) + 0.5) / denom_h - 1.0
+    cw = 2.0 * (np.arange(w, dtype=np.float32) + 0.5) / denom_w - 1.0
+    return ch, cw
+
+
+@functools.lru_cache(maxsize=32)
+def _rotate_half_matrix(num_heads: int, d_head: int) -> np.ndarray:
+    """(C, C) signed permutation: y = x @ M gives per-head rotate-half
+    ([-x2, x1], reference rope.py:139-146). Column o*dh + j reads source
+    channel o*dh + (j + dh/2 with sign -1 if j < dh/2 else j - dh/2)."""
+    c = num_heads * d_head
+    m = np.zeros((c, c), dtype=np.float32)
+    half = d_head // 2
+    for head in range(num_heads):
+        o = head * d_head
+        for j in range(half):
+            m[o + half + j, o + j] = -1.0  # out[:half] = -x2
+            m[o + j, o + half + j] = 1.0  # out[half:] = x1
+    return m
+
+
+def _normalized_coords(h: int, w: int, mode: str) -> np.ndarray:
+    """(h, w, 2) coordinates in [-1, 1] (kept for tests/introspection)."""
+    ch, cw = _axis_coords(h, w, mode)
+    return np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1)
 
 
 class RoPE(nn.Module):
@@ -94,23 +117,26 @@ class RoPE(nn.Module):
             rope_periods(self.d_head, self.base, self.min_period, self.max_period)
         )
 
-    def _augment(self, coords: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """Train-time shift/jitter/rescale augmentations (rope.py:107-124)."""
+    def _augment_axes(self, ch: jnp.ndarray, cw: jnp.ndarray, rng: jax.Array):
+        """Train-time shift/jitter/rescale augmentations (rope.py:107-124).
+
+        All three act per-axis (shift adds a scalar per axis, jitter/rescale
+        multiply), so they compose with the separable coordinate tables."""
         k_shift, k_jitter, k_rescale = jax.random.split(rng, 3)
         if self.shift_coords is not None:
             shift = jax.random.uniform(
                 k_shift, (2,), minval=-self.shift_coords, maxval=self.shift_coords
             )
-            coords = coords + shift
+            ch, cw = ch + shift[0], cw + shift[1]
         if self.jitter_coords is not None:
             jmax = math.log(self.jitter_coords)
             jitter = jnp.exp(jax.random.uniform(k_jitter, (2,), minval=-jmax, maxval=jmax))
-            coords = coords * jitter
+            ch, cw = ch * jitter[0], cw * jitter[1]
         if self.rescale_coords is not None:
             rmax = math.log(self.rescale_coords)
             rescale = jnp.exp(jax.random.uniform(k_rescale, (1,), minval=-rmax, maxval=rmax))
-            coords = coords * rescale
-        return coords
+            ch, cw = ch * rescale[0], cw * rescale[0]
+        return ch, cw
 
     def __call__(
         self,
@@ -122,24 +148,65 @@ class RoPE(nn.Module):
     ) -> jnp.ndarray:
         """Apply RoPE. `row_offset`/`full_h` support banded/streamed execution:
         x holds rows [row_offset, row_offset + h) of a full_h-tall grid and
-        gets that slice of the full grid's coordinates."""
+        gets that slice of the full grid's coordinates.
+
+        Every channel's angle depends on the row coordinate only (u channels)
+        or the column coordinate only (v channels) — the [u, v, u, v] layout
+        of reference rope.py:139-146 — so the sin/cos fields factor into a
+        (h, C) row table times a (w, C) column table with ones in the
+        complementary slots. The apply is then ONE fused elementwise pass
+        over x with two tiny broadcast operands: no (h, w, d) angle tensor,
+        no transcendentals at HxW, and no 5-D head-split temporaries (whose
+        (heads, d_head) minor dims tile-pad 2-4x in HBM at 2K+ resolutions).
+        """
         b, h, w, c = x.shape
         if c != self.embed_dim:
             raise ValueError(f"expected {self.embed_dim} channels, got {c}")
-        coords = jnp.asarray(
-            _normalized_coords(full_h or h, w, self.normalize_coords)
-        )[row_offset : row_offset + h]
+        fh = full_h or h
+        ch, cw = _axis_coords(fh, w, self.normalize_coords)
+        ch = jnp.asarray(ch)[row_offset : row_offset + h]
+        cw = jnp.asarray(cw)
         if train and rng is not None:
-            coords = self._augment(coords, rng)
+            ch, cw = self._augment_axes(ch, cw, rng)
 
-        # angles: (h, w, 2, d/4) -> flatten -> tile to (h, w, d)
-        angles = 2.0 * math.pi * coords[..., None] / self.periods
-        angles = angles.reshape(h, w, self.d_head // 2)
-        angles = jnp.tile(angles, (1, 1, 2))
-        # sin/cos in f32 for accuracy, applied in the input dtype so bf16
-        # activations stay bf16 (no O(H*W*dim) f32 temporaries at 2K+).
-        sin = jnp.sin(angles)[:, :, None, :].astype(x.dtype)  # (h, w, 1, d)
-        cos = jnp.cos(angles)[:, :, None, :].astype(x.dtype)
+        # per-axis angle tables (h, d/4) and (w, d/4), f32
+        au = (2.0 * math.pi) * ch[:, None] / self.periods
+        av = (2.0 * math.pi) * cw[:, None] / self.periods
+        one_u = jnp.ones_like(au)
+        one_v = jnp.ones_like(av)
+        # channel layout per head: [u(d/4), v(d/4), u(d/4), v(d/4)];
+        # ones fill the complementary axis so row * col = the true field.
+        n = self.num_heads
+        sin_r = jnp.tile(
+            jnp.concatenate([jnp.sin(au), one_u, jnp.sin(au), one_u], -1), (1, n)
+        )
+        cos_r = jnp.tile(
+            jnp.concatenate([jnp.cos(au), one_u, jnp.cos(au), one_u], -1), (1, n)
+        )
+        sin_c = jnp.tile(
+            jnp.concatenate([one_v, jnp.sin(av), one_v, jnp.sin(av)], -1), (1, n)
+        )
+        cos_c = jnp.tile(
+            jnp.concatenate([one_v, jnp.cos(av), one_v, jnp.cos(av)], -1), (1, n)
+        )
 
-        xh = x.reshape(b, h, w, self.num_heads, self.d_head)
-        return rope_apply(xh, sin, cos).reshape(b, h, w, c)
+        dt = x.dtype
+        sin_r = sin_r.astype(dt)[None, :, None, :]  # (1, h, 1, C)
+        cos_r = cos_r.astype(dt)[None, :, None, :]
+        sin_c = sin_c.astype(dt)[None, None, :, :]  # (1, 1, w, C)
+        cos_c = cos_c.astype(dt)[None, None, :, :]
+
+        # rotate-half per head as a matmul with a signed permutation matrix:
+        # channel slicing/concat at d_head/2 granularity materializes
+        # tile-padded (..., 32)-minor temporaries (4x HBM at 2K+), while the
+        # MXU does the shuffle in one pass. Exact: one +-1 entry per column
+        # (HIGHEST keeps f32 operands unsplit; bf16 * +-1 is exact anyway).
+        rmat = jnp.asarray(_rotate_half_matrix(n, self.d_head), x.dtype)
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        rot = jnp.einsum("bhwc,cd->bhwd", x, rmat, precision=prec)
+
+        return x * cos_r * cos_c + rot * sin_r * sin_c
