@@ -30,6 +30,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from naf_tpu.kernels.encoder_fused import (
+    encoder_stack_fused,
+    fused_encoder_applicable,
+)
 from naf_tpu.nn.attention import CrossScaleAttention
 from naf_tpu.nn.conv import Encoder
 from naf_tpu.nn.rope import RoPE
@@ -66,9 +70,29 @@ class ImageEncoder(nn.Module):
         )
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Dual conv stacks only (no pooling / RoPE)."""
+        """Dual conv stacks only (no pooling / RoPE).
+
+        bf16 inference on TPU routes through the fused Pallas encoder
+        (naf_tpu.kernels.encoder_fused) — same parameters, same math, one
+        pass per GN->SiLU->conv layer instead of XLA's conv lowering."""
         if not self.use_encoder:
             return x
+        hidden = self.out_channels // 2
+        if (
+            not self.is_initializing()
+            and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and x.shape[1] * x.shape[2] >= 448 * 448
+            and fused_encoder_applicable(x.shape, 1, hidden)
+            and fused_encoder_applicable(x.shape, 3, hidden)
+        ):
+            pix = encoder_stack_fused(
+                self.encoder.variables["params"], x, hidden, 1, 1, self.img_layers
+            )
+            sem = encoder_stack_fused(
+                self.sem_encoder.variables["params"], x, hidden, 3, 3, self.img_layers
+            )
+            return jnp.concatenate([pix, sem], axis=-1)
         return jnp.concatenate([self.encoder(x), self.sem_encoder(x)], axis=-1)
 
     def __call__(

@@ -1,0 +1,70 @@
+"""Fused Pallas encoder vs the flax Encoder stack (interpret mode).
+
+The fused path (naf_tpu/kernels/encoder_fused.py) must reproduce
+Encoder = stem + [GN -> SiLU -> reflect-conv]*2N exactly from the SAME
+parameter tree (reference semantics: src/layers/convolutions.py:6-92).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naf_tpu.kernels.encoder_fused import (
+    encoder_stack_fused,
+    fused_encoder_applicable,
+    gn_silu_conv_fused,
+)
+from naf_tpu.nn import Encoder
+
+
+@pytest.mark.parametrize("ks", [1, 3])
+def test_fused_stack_matches_flax(ks):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 24, 3), jnp.float32)
+    enc = Encoder(128, kernel_size=ks, ks_res=ks, num_layers=2)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    want = enc.apply({"params": params}, x)
+    got = encoder_stack_fused(params, x, 128, ks, ks, 2, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_layer_groupnorm_stats_roundtrip():
+    """psums -> next layer's GN affine reproduces flax GroupNorm exactly."""
+    from flax import linen as nn
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 16, 16, 128), jnp.float32)
+    scale = jnp.ones((128,), jnp.float32)
+    shift = jnp.zeros((128,), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 128, 128) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(128) * 0.1, jnp.float32)
+    y, ps = gn_silu_conv_fused(x, scale, shift, w, b, kernel_size=3,
+                               interpret=True)
+    # psums must equal direct sums of y
+    np.testing.assert_allclose(
+        np.asarray(ps[:, 0]), np.asarray(jnp.sum(y, axis=(1, 2))), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ps[:, 1]), np.asarray(jnp.sum(y * y, axis=(1, 2))), rtol=1e-5
+    )
+    # and the folded GN affine from psums must match flax GroupNorm on y
+    from naf_tpu.kernels.encoder_fused import _gn_affine
+
+    gamma = jnp.asarray(rng.rand(128) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.randn(128) * 0.2, jnp.float32)
+    sc, sh = _gn_affine(ps, gamma, beta, 16 * 16, 8, 1e-5)
+    got = y * sc[:, None, None, :] + sh[:, None, None, :]
+    gn = nn.GroupNorm(num_groups=8, epsilon=1e-5)
+    want = gn.apply({"params": {"scale": gamma, "bias": beta}}, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_applicability_gate():
+    assert fused_encoder_applicable((1, 448, 448, 3), 3, 128)
+    assert fused_encoder_applicable((1, 2048, 2048, 3), 3, 128)
+    assert not fused_encoder_applicable((1, 448, 448, 3), 5, 128)  # kernel
+    assert not fused_encoder_applicable((1, 448, 448, 3), 3, 96)  # lanes

@@ -51,11 +51,24 @@ def test_restorer_contract(name):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_anyup_is_gated():
-    img, feats = _data()
+def test_anyup_forward_and_window_locality():
+    """AnyUp (reference wrapper src/model/anyup.py:8-15) forward contract +
+    the windowed-attention property: a far-away feature perturbation cannot
+    reach a query outside its (2*radius+1) window."""
+    img, feats = _data(hr=64, lr=16)
     m = build_model("AnyUp")
-    with pytest.raises(NotImplementedError):
-        m.init(jax.random.PRNGKey(0), img, feats, (32, 32))
+    params = m.init(jax.random.PRNGKey(0), img, feats, (64, 64))
+    out = m.apply(params, img, feats, (64, 64))
+    assert out.shape == (1, 64, 64, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # perturb the bottom-right LR cell: the top-left query (cell (0,0),
+    # window cells [0,7)x[0,7)) must be bit-identical.
+    feats2 = feats.at[:, -1, -1].add(100.0)
+    out2 = m.apply(params, img, feats2, (64, 64))
+    np.testing.assert_array_equal(np.asarray(out[:, :4, :4]),
+                                  np.asarray(out2[:, :4, :4]))
+    assert not np.allclose(np.asarray(out[:, -4:, -4:]),
+                           np.asarray(out2[:, -4:, -4:]))
 
 
 def test_registry_wrapper_and_unknown():
