@@ -42,9 +42,11 @@ def unfold_nhwc(x: jnp.ndarray, diameter: int) -> jnp.ndarray:
 def adaptive_conv(source_padded: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel convolution (FeatUp AdaptiveConv semantics, NHWC).
 
-    Implemented as a fori_loop over the k^2 offsets (one multiply-add pass
-    each) — an unrolled loop makes XLA keep all k^2 shifted copies alive,
-    which is GBs at 448^2 x 384.
+    On TPU, supported shapes run the fused Pallas kernel
+    (naf_tpu.kernels.adaptive_conv_fused): one HBM read of source+weights
+    and one write of the output. The fallback is a fori_loop over the k^2
+    offsets (one multiply-add pass each — an unrolled loop makes XLA keep
+    all k^2 shifted copies alive, which is GBs at 448^2 x 384).
 
     Args:
       source_padded: (B, H + k - 1, W + k - 1, C)
@@ -58,6 +60,15 @@ def adaptive_conv(source_padded: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarra
     kh, kw = kernel.shape[3], kernel.shape[4]
     h, w = hp - kh + 1, wp - kw + 1
     dtype = jnp.promote_types(source_padded.dtype, kernel.dtype)
+
+    if kh == kw and jax.default_backend() == "tpu":
+        from naf_tpu.kernels.adaptive_conv_fused import (
+            adaptive_conv_fused,
+            adaptive_conv_fused_applicable,
+        )
+
+        if adaptive_conv_fused_applicable(h, w, c, kh, dtype.itemsize):
+            return adaptive_conv_fused(source_padded, kernel)
 
     def body(p, acc):
         i, j = p // kw, p % kw

@@ -68,3 +68,18 @@ def test_applicability_gate():
     assert fused_encoder_applicable((1, 2048, 2048, 3), 3, 128)
     assert not fused_encoder_applicable((1, 448, 448, 3), 5, 128)  # kernel
     assert not fused_encoder_applicable((1, 448, 448, 3), 3, 96)  # lanes
+
+
+def test_adaptive_conv_fused_matches_xla():
+    """Pallas spatially-varying conv vs the XLA fallback (FeatUp
+    AdaptiveConv semantics, reference src/model/featup.py:126)."""
+    from naf_tpu.kernels.adaptive_conv_fused import adaptive_conv_fused
+    from naf_tpu.ops.adaptive_conv import adaptive_conv
+
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(2, 22, 38, 128), jnp.float32)
+    ker = jnp.asarray(rng.rand(2, 16, 32, 7, 7), jnp.float32)
+    got = adaptive_conv_fused(src, ker, interpret=True)
+    want = adaptive_conv(src, ker)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
