@@ -20,6 +20,9 @@ __all__ = [
     "convert_timm_vit",
     "convert_hf_dinov2",
     "convert_hf_dinov3",
+    "convert_radio",
+    "convert_franca",
+    "convert_capi",
     "vit_from_torch",
 ]
 
@@ -56,7 +59,9 @@ def convert_timm_vit(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
         int(k.split(".")[1]) for k in state if k.startswith("blocks.")
     )
     n_reg = _np(state["reg_token"]).shape[1] if "reg_token" in state else 0
-    has_cls_pos = (pos.shape[1] - n_reg) % 2 == 1  # odd => cls pos present
+    # timm pos_embed covers cls+patches only (registers are pos-free):
+    # an odd token count means a cls position is present.
+    has_cls_pos = pos.shape[1] % 2 == 1
     grid = int(math.isqrt(pos.shape[1] - (1 if has_cls_pos else 0)))
     fc1 = _np(state["blocks.0.mlp.fc1.weight"])
     cfg = ViTConfig(
@@ -168,6 +173,95 @@ def convert_hf_dinov2(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
     return params, cfg
 
 
+def _strip_prefix(state: Mapping, candidates) -> Mapping:
+    """Return the sub-dict under the first prefix that exposes a ViT trunk
+    (timm-style ``blocks.N.`` keys), dropping keys outside it."""
+    for pre in candidates:
+        sub = {
+            k[len(pre):]: v for k, v in state.items() if k.startswith(pre)
+        }
+        if any(k.startswith("blocks.") for k in sub):
+            return sub
+    raise ValueError(
+        f"no ViT trunk found under any of the prefixes {list(candidates)}"
+    )
+
+
+_TRUNK_KEY_ALIASES = {
+    # family-specific names for the same tensors (timm canonical on the left)
+    "reg_token": ("register_tokens", "storage_tokens"),
+}
+
+
+def _canonicalize_trunk(sub: dict) -> dict:
+    out = dict(sub)
+    for canon, aliases in _TRUNK_KEY_ALIASES.items():
+        if canon not in out:
+            for alias in aliases:
+                if alias in out:
+                    out[canon] = out.pop(alias)
+                    break
+    return out
+
+
+def convert_radio(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
+    """NVlabs/RADIO hub checkpoint -> (trunk params, config).
+
+    RADIO wraps a timm-style VisionTransformer (under ``model.`` /
+    ``radio_model.model.`` / ``base_model.model.`` depending on how the hub
+    module was saved) together with an input conditioner, summary heads, and
+    task adaptors. The reference wrapper consumes only the trunk's spatial
+    features (vit_wrapper.py:97-109, 139-180), so summary/adaptor weights
+    are intentionally dropped; the conditioner's mean/std of (0, 1) is
+    handled by the backbone registry, matching vit_wrapper.py:102-106."""
+    sub = _strip_prefix(
+        state, ("radio_model.model.", "base_model.model.", "model.", "")
+    )
+    return convert_timm_vit(_canonicalize_trunk(sub), num_heads)
+
+
+def convert_capi(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
+    """facebookresearch/capi hub checkpoint -> (trunk params, config).
+
+    CAPI's encoder is a registers ViT with timm-lineage naming (the hub
+    model returns NHWC patch features directly, vit_wrapper.py:167-169);
+    register tokens may appear as ``storage_tokens``."""
+    sub = _strip_prefix(state, ("backbone.", "encoder.", "teacher.", ""))
+    return convert_timm_vit(_canonicalize_trunk(sub), num_heads)
+
+
+def convert_franca(state: Mapping, num_heads: int):
+    """valeoai/Franca hub checkpoint -> (trunk params, config, rasa params).
+
+    Franca is DINOv2-lineage (timm-style trunk keys); the wrapper consumes
+    ``patch_token_rasa`` — patch tokens passed through the RASA head
+    (vit_wrapper.py:111-113, 161-165). The RASA head converts as an ordered
+    stack of linear layers applied per token (layer keys matched by the
+    ``rasa`` fragment); the stack's hidden activation follows the published
+    head (GELU between layers). Raises if no RASA tensors are present so a
+    hub-layout change is loud."""
+    sub = _strip_prefix(state, ("backbone.", "teacher.backbone.", ""))
+    trunk_keys = {k for k in sub if "rasa" not in k.lower()}
+    params, cfg = convert_timm_vit(
+        _canonicalize_trunk({k: sub[k] for k in trunk_keys}), num_heads
+    )
+    rasa_w = sorted(
+        k for k in sub if "rasa" in k.lower() and k.endswith(".weight")
+        and _np(sub[k]).ndim == 2
+    )
+    if not rasa_w:
+        raise ValueError("no RASA head tensors found in Franca checkpoint")
+    rasa = {}
+    for i, wk in enumerate(rasa_w):
+        bk = wk[: -len(".weight")] + ".bias"
+        rasa[f"linear{i}"] = {
+            "kernel": _np(sub[wk]).T,
+            "bias": _np(sub[bk]) if bk in sub
+            else np.zeros(_np(sub[wk]).shape[0], np.float32),
+        }
+    return params, cfg, rasa
+
+
 def vit_from_torch(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
     """Auto-detect the checkpoint family and convert."""
     if any(k.startswith("encoder.layer.") for k in state):
@@ -175,7 +269,17 @@ def vit_from_torch(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
     if any(k.startswith("layer.") and "attention.q_proj" in k for k in state):
         return convert_hf_dinov3(state, num_heads)
     if any(k.startswith("blocks.") for k in state):
-        return convert_timm_vit(state, num_heads)
+        return convert_timm_vit(_canonicalize_trunk(dict(state)), num_heads)
+    # wrapped trunks (RADIO-style nesting)
+    try:
+        sub = _strip_prefix(
+            state,
+            ("radio_model.model.", "base_model.model.", "model.",
+             "backbone.", "encoder."),
+        )
+        return convert_timm_vit(_canonicalize_trunk(sub), num_heads)
+    except ValueError:
+        pass
     raise ValueError("unrecognized ViT checkpoint layout")
 
 

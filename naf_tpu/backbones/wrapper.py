@@ -39,6 +39,12 @@ _SIZES = {"small": 384, "base": 768, "large": 1024, "giant": 1536, "tiny": 192,
 
 BACKBONE_REGISTRY = {
     "vit_base_patch16_224.dino": dict(input_size=224),
+    # RADIO normalizes internally: identity stats (vit_wrapper.py:102-106)
+    "radio_v2.5-b": dict(input_size=512, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0)),
+    "radio_v2.5-l": dict(input_size=512, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0)),
+    "franca_vitb14": dict(input_size=448),
+    "franca_vitl14": dict(input_size=448),
+    "capi_vitl14": dict(input_size=448),
     "vit_base_patch14_dinov2.lvd142m": dict(input_size=518),
     "vit_small_patch14_dinov2.lvd142m": dict(input_size=518),
     "vit_base_patch14_reg4_dinov2": dict(input_size=518),
@@ -68,6 +74,20 @@ def _embed_dim_from_name(name: str) -> int:
     return 768
 
 
+def _apply_rasa(rasa_params, feats: jnp.ndarray) -> jnp.ndarray:
+    """Franca RASA head: an ordered stack of per-token linear layers (GELU
+    between) over the patch features (vit_wrapper.py:161-165 consumes
+    forward_features(use_rasa_head=True)["patch_token_rasa"])."""
+    n = len(rasa_params)
+    x = feats
+    for i in range(n):
+        p = rasa_params[f"linear{i}"]
+        x = x @ jnp.asarray(p["kernel"], x.dtype) + jnp.asarray(p["bias"], x.dtype)
+        if i < n - 1:
+            x = jax.nn.gelu(x, approximate=False)  # torch F.gelu default
+    return x
+
+
 class PretrainedViTWrapper:
     def __init__(
         self,
@@ -78,6 +98,15 @@ class PretrainedViTWrapper:
         seed: int = 0,
         **kwargs,
     ):
+        # dvt_/fit3d_ finetuned-weight prefixes (vit_wrapper.py:60-68,89-94):
+        # strip the tag, remember it; the checkpoint holds the base trunk's
+        # finetuned weights (dvt ckpts nest them under "model").
+        self.finetune_tag = None
+        for tag in ("dvt_", "fit3d_"):
+            if name.startswith(tag):
+                self.finetune_tag = tag[:-1]
+                name = name[len(tag):]
+                break
         self.name = name
         self.patch_size = _patch_size_from_name(name)
         reg = BACKBONE_REGISTRY.get(name, {})
@@ -93,6 +122,7 @@ class PretrainedViTWrapper:
         # bf16 extraction takes the native MXU path; f32 stays reference-exact
         precision = "default" if dtype == jnp.bfloat16 else "highest"
 
+        self.rasa_params = None
         if checkpoint is not None:
             import torch
 
@@ -103,7 +133,23 @@ class PretrainedViTWrapper:
                 state = state["model"]
             dim = _embed_dim_from_name(name)
             heads = num_heads or max(dim // 64, 1)
-            params, cfg = vit_from_torch(state, heads)
+            if "radio" in name:
+                from naf_tpu.backbones.convert import convert_radio
+
+                params, cfg = convert_radio(state, heads)
+            elif "franca" in name:
+                from naf_tpu.backbones.convert import convert_franca
+
+                params, cfg, rasa = convert_franca(state, heads)
+                self.rasa_params = jax.tree.map(
+                    lambda a: jnp.asarray(a, dtype), rasa
+                )
+            elif "capi" in name:
+                from naf_tpu.backbones.convert import convert_capi
+
+                params, cfg = convert_capi(state, heads)
+            else:
+                params, cfg = vit_from_torch(state, heads)
             self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
             self.vit_config = dataclasses.replace(cfg, precision=precision)
         else:
@@ -134,7 +180,10 @@ class PretrainedViTWrapper:
 
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) normalized image -> (B, H/ps, W/ps, C)."""
-        return self.model.apply({"params": self.params}, image)
+        feats = self.model.apply({"params": self.params}, image)
+        if self.rasa_params is not None:
+            feats = _apply_rasa(self.rasa_params, feats)
+        return feats
 
     def normalize(self, image01: jnp.ndarray) -> jnp.ndarray:
         """Apply this backbone's normalization to a [0, 1] NHWC image."""

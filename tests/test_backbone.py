@@ -1,5 +1,6 @@
 """Flax ViT parity vs HuggingFace Dinov2 (random init, CPU torch)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -100,3 +101,113 @@ def test_vit_matches_hf_dinov3():
         {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
+
+
+def _synthetic_timm_state(dim=64, depth=2, heads=2, patch=16, grid=4, regs=0,
+                          seed=0):
+    """A timm-layout ViT state dict with random weights (timm itself is not
+    in this environment; the layout mirrors VisionTransformer.state_dict())."""
+    rng = np.random.RandomState(seed)
+    t = lambda *s: torch.from_numpy(rng.randn(*s).astype(np.float32) * 0.05)
+    state = {
+        "patch_embed.proj.weight": t(dim, 3, patch, patch),
+        "patch_embed.proj.bias": t(dim),
+        "pos_embed": t(1, grid * grid + 1, dim),
+        "cls_token": t(1, 1, dim),
+        "norm.weight": t(dim),
+        "norm.bias": t(dim),
+    }
+    if regs:
+        state["reg_token"] = t(1, regs, dim)
+    for i in range(depth):
+        p = f"blocks.{i}"
+        state.update({
+            f"{p}.norm1.weight": t(dim), f"{p}.norm1.bias": t(dim),
+            f"{p}.attn.qkv.weight": t(3 * dim, dim),
+            f"{p}.attn.qkv.bias": t(3 * dim),
+            f"{p}.attn.proj.weight": t(dim, dim),
+            f"{p}.attn.proj.bias": t(dim),
+            f"{p}.norm2.weight": t(dim), f"{p}.norm2.bias": t(dim),
+            f"{p}.mlp.fc1.weight": t(4 * dim, dim),
+            f"{p}.mlp.fc1.bias": t(4 * dim),
+            f"{p}.mlp.fc2.weight": t(dim, 4 * dim),
+            f"{p}.mlp.fc2.bias": t(dim),
+        })
+    return state
+
+
+def test_radio_prefix_conversion_matches_bare_trunk():
+    """RADIO nests a timm trunk under radio_model.model. plus conditioner /
+    adaptor keys (vit_wrapper.py:97-109) — conversion must equal the bare
+    trunk's and ignore the extras."""
+    from naf_tpu.backbones.convert import convert_radio, convert_timm_vit
+
+    bare = _synthetic_timm_state()
+    wrapped = {f"radio_model.model.{k}": v for k, v in bare.items()}
+    wrapped["radio_model.input_conditioner.norm_mean"] = torch.zeros(3)
+    wrapped["radio_model.summary_idxs"] = torch.zeros(2)
+    p_bare, cfg_bare = convert_timm_vit(bare, 2)
+    p_radio, cfg_radio = convert_radio(wrapped, 2)
+    assert cfg_bare == cfg_radio
+    la = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(p_bare)}
+    lb = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(p_radio)}
+    assert la.keys() == lb.keys()
+    for k in la:
+        np.testing.assert_array_equal(la[k], lb[k])
+
+
+def test_capi_storage_tokens_alias_and_prefix():
+    """CAPI register tokens appear as storage_tokens under backbone.
+    (vit_wrapper.py:115-118,167-169)."""
+    from naf_tpu.backbones.convert import convert_capi
+
+    bare = _synthetic_timm_state(regs=0)
+    bare["storage_tokens"] = torch.zeros(1, 3, 64)
+    wrapped = {f"backbone.{k}": v for k, v in bare.items()}
+    params, cfg = convert_capi(wrapped, 2)
+    assert cfg.num_reg_tokens == 3
+    assert params["reg_tokens"].shape == (1, 3, 64)
+    out = ViT(cfg).apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    assert out.shape == (1, 4, 4, 64)
+
+
+def test_franca_rasa_head_conversion_and_apply():
+    """Franca: DINOv2-lineage trunk + RASA head applied to patch tokens
+    (vit_wrapper.py:111-113,161-165)."""
+    from naf_tpu.backbones.convert import convert_franca
+    from naf_tpu.backbones.wrapper import _apply_rasa
+
+    state = _synthetic_timm_state()
+    rng = np.random.RandomState(3)
+    state["rasa_head.mlp.0.weight"] = torch.from_numpy(
+        rng.randn(32, 64).astype(np.float32))
+    state["rasa_head.mlp.0.bias"] = torch.zeros(32)
+    state["rasa_head.mlp.2.weight"] = torch.from_numpy(
+        rng.randn(64, 32).astype(np.float32))
+    state["rasa_head.mlp.2.bias"] = torch.zeros(64)
+    params, cfg, rasa = convert_franca(state, 2)
+    assert set(rasa) == {"linear0", "linear1"}
+    assert rasa["linear0"]["kernel"].shape == (64, 32)
+    feats = jnp.asarray(np.random.RandomState(4).randn(1, 4, 4, 64), jnp.float32)
+    out = _apply_rasa(jax.tree.map(jnp.asarray, rasa), feats)
+    assert out.shape == (1, 4, 4, 64)
+    # GELU between layers, none after the last
+    import torch.nn.functional as TF
+    w0 = state["rasa_head.mlp.0.weight"].numpy()
+    w1 = state["rasa_head.mlp.2.weight"].numpy()
+    ref = torch.from_numpy(np.asarray(feats))
+    ref = TF.gelu(ref @ torch.from_numpy(w0.T)) @ torch.from_numpy(w1.T)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-5)
+
+
+def test_finetuned_prefix_wrapper_names():
+    """dvt_/fit3d_ prefixes strip to the base trunk (vit_wrapper.py:60-68)."""
+    from naf_tpu.backbones.wrapper import PretrainedViTWrapper
+
+    w = PretrainedViTWrapper("dvt_vit_base_patch14_dinov2.lvd142m")
+    assert w.finetune_tag == "dvt" and w.patch_size == 14
+    w2 = PretrainedViTWrapper("fit3d_vit_base_patch16_224.dino")
+    assert w2.finetune_tag == "fit3d" and w2.patch_size == 16
