@@ -35,7 +35,9 @@ SWEEPS = {
     "ratio": [2, 4, 8, 16, 32],
     "lr_size": [32],
 }
-MODELS = ["Bilinear", "Nearest", "FeatUp", "JAFAR", "NAF"]
+# the reference speed sweep parametrizes FeatUp/AnyUp/JAFAR/NAF
+# (test/forward_speed.py:10-12); Bilinear/Nearest are cheap context rows
+MODELS = ["Bilinear", "Nearest", "FeatUp", "AnyUp", "JAFAR", "NAF"]
 
 __all__ = ["run_sweep", "benchmark_model", "DEFAULTS", "SWEEPS", "MODELS"]
 
@@ -163,15 +165,21 @@ def run_sweep(
                     dtype=dtype, backward=backward,
                 )
             except NotImplementedError as e:
+                # structured skip: the config is legitimately unsupported
                 rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
-                       "error": str(e)[:120]}
+                       "skip": str(e)[:120]}
+            except ValueError as e:
+                # shape-constraint skips (e.g. L >= k*d natten parity rule)
+                rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
+                       "skip": str(e)[:160]}
             except Exception as e:
                 rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
                        "error": str(e)[:200]}
             rec["factor"] = factor
             results.append(rec)
             print("  ->", {k: rec.get(k) for k in
-                           ("fwd_ms", "bwd_ms", "fwd_mem_mb", "gflops", "error")})
+                           ("fwd_ms", "bwd_ms", "fwd_mem_mb", "gflops",
+                            "skip", "error")})
             # drop compiled executables + live buffers between models so big
             # configs don't inherit earlier models' HBM footprint
             jax.clear_caches()

@@ -13,13 +13,14 @@ The image encoder concatenates a 1x1-kernel "pixel" stack and a 3x3-kernel
 size, guards >4x-output inputs by bilinear downscale, then applies RoPE
 (naf.py:26-51).
 
-Banded (streamed) execution: `band_rows=R` processes the output in row bands
-— encoder with a small halo overlap, keys pooled per band, attention per
-band — bounding peak memory to O(R * W) instead of O(H * W) activations.
-This is the TPU answer to 2K+ outputs on one chip (the reference relies on
-the NA kernel's O(N k^2) memory but still materializes full-resolution
-encodings, README.md:144). Exact (not approximate): halos cover the conv
-receptive field and band edges align with pooling cells.
+Banded (streamed) execution: `band_rows=R` runs the ATTENTION in row bands
+with global window indexing — exact, inference-only — which bounds the
+attention stage's working set (its padded/intermediate tensors) to O(R * W).
+The encoder output and the final features remain O(H * W): GroupNorm
+statistics are global per image, so the encoder runs at full resolution
+(see `_banded`). With the flat-layout NA kernel the unbanded path usually
+fits (and is faster) at 2048^2; banding is for the sizes beyond that where
+the attention stage would otherwise not fit residency.
 """
 
 from __future__ import annotations
@@ -161,6 +162,10 @@ class NAF(nn.Module):
         rng: Optional[jax.Array] = None,
         band_rows: Optional[int] = None,
     ):
+        # band_rows is an inference-only memory knob: training grids are
+        # small (the distillation objective predicts at feature resolution,
+        # reference train.py:123-127) and the banded fused kernel has no
+        # backward, so it is deliberately ignored when train=True.
         if band_rows is not None and not return_weights and not train:
             return self._banded(image, features, output_size, band_rows)
 

@@ -73,3 +73,19 @@ def test_adaptive_conv_matches_direct():
         for j in range(3):
             want += pn[:, i : i + 10, j : j + 11] * kern[:, :, :, i, j, None]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_band_rows_ignored_in_training_mode():
+    """band_rows is an inference-only knob: train=True must take the
+    differentiable unbanded path (and produce identical output)."""
+    import jax
+    from naf_tpu.models.naf import NAF
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    feats = jnp.asarray(rng.randn(1, 8, 8, 8), jnp.float32)
+    m = NAF(dim=16, heads_attn=2, heads_rope=2, kernel_size=5, na_impl="xla")
+    params = m.init(jax.random.PRNGKey(0), img, feats, (32, 32))
+    a = m.apply(params, img, feats, (32, 32), train=True, band_rows=16)
+    b = m.apply(params, img, feats, (32, 32), train=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
