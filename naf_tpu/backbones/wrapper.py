@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from naf_tpu.backbones.vit import ViT, ViTConfig
 from naf_tpu.backbones.convert import vit_from_torch
 
-__all__ = ["PretrainedViTWrapper", "BACKBONE_REGISTRY"]
+__all__ = ["PretrainedViTWrapper", "load_multiple_backbones", "BACKBONE_REGISTRY"]
 
 IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
@@ -190,3 +190,23 @@ class PretrainedViTWrapper:
         mean = jnp.asarray(self.config["mean"], image01.dtype)
         std = jnp.asarray(self.config["std"], image01.dtype)
         return (image01 - mean) / std
+
+
+def load_multiple_backbones(cfg, dtype=jnp.float32):
+    """List-or-single backbone config -> list of wrappers (reference
+    utils/training.py:193-231): training consumes the first, the others are
+    kept for side-by-side logging/eval. ``cfg`` is the ``backbone`` config
+    group: ``name`` may be a string or a list; ``checkpoint`` may be a
+    string, a list aligned with ``name``, or absent (random init)."""
+    names = cfg["name"] if isinstance(cfg["name"], (list, tuple)) else [cfg["name"]]
+    ckpts = cfg.get("checkpoint")
+    if not isinstance(ckpts, (list, tuple)):
+        ckpts = [ckpts] * len(names)
+    if len(ckpts) != len(names):
+        raise ValueError(
+            f"backbone.checkpoint has {len(ckpts)} entries for {len(names)} names"
+        )
+    return [
+        PretrainedViTWrapper(n, checkpoint=c, dtype=dtype)
+        for n, c in zip(names, ckpts)
+    ]

@@ -211,3 +211,20 @@ def test_finetuned_prefix_wrapper_names():
     assert w.finetune_tag == "dvt" and w.patch_size == 14
     w2 = PretrainedViTWrapper("fit3d_vit_base_patch16_224.dino")
     assert w2.finetune_tag == "fit3d" and w2.patch_size == 16
+
+
+def test_load_multiple_backbones_list_config():
+    """Reference trains on backbones[0] but loads the whole list
+    (utils/training.py:193-231)."""
+    from naf_tpu.backbones import load_multiple_backbones
+
+    bbs = load_multiple_backbones(
+        {"name": ["vit_base_patch16_224.dino", "dvt_vit_base_patch14_dinov2.lvd142m"]}
+    )
+    assert len(bbs) == 2
+    assert bbs[0].patch_size == 16 and bbs[1].patch_size == 14
+    assert bbs[1].finetune_tag == "dvt"
+    single = load_multiple_backbones({"name": "vit_base_patch16_224.dino"})
+    assert len(single) == 1
+    with pytest.raises(ValueError):
+        load_multiple_backbones({"name": ["a", "b"], "checkpoint": ["x"]})

@@ -16,7 +16,7 @@ import sys
 
 import numpy as np
 
-from naf_tpu.backbones import PretrainedViTWrapper
+from naf_tpu.backbones import load_multiple_backbones
 from naf_tpu.config import instantiate, load_config
 from naf_tpu.train.trainer import TrainConfig, train_upsampler
 
@@ -54,11 +54,13 @@ def main(argv):
 
     import jax.numpy as jnp
 
-    backbone = PretrainedViTWrapper(
-        cfg["backbone"]["name"],
-        checkpoint=cfg["backbone"].get("checkpoint"),
+    # reference loads a list and trains on the first (utils/training.py:
+    # 193-231); extra backbones stay available for side-by-side logging.
+    backbones = load_multiple_backbones(
+        cfg["backbone"],
         dtype=jnp.bfloat16 if cfg.get("use_bf16", True) else jnp.float32,
     )
+    backbone = backbones[0]
     model = instantiate(cfg["model"])
 
     tcfg = TrainConfig(
