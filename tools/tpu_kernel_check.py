@@ -101,6 +101,42 @@ def main():
     spot_check(q2, k2, v2, o2, 9, [0, 1024, 2047], tol=5e-2)
     del o2
     print("2048^2 r16 fused NA bf16: %.3f ms" % timeit(f, q2, k2, v2, iters=8))
+    del q2, k2, v2
+
+    # fused encoder layers vs the flax stack (bf16 production path)
+    from naf_tpu.kernels.encoder_fused import encoder_stack_fused
+    from naf_tpu.nn import Encoder
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 448, 448, 3), jnp.bfloat16)
+    for ks in (1, 3):
+        enc = Encoder(128, kernel_size=ks, ks_res=ks, num_layers=2)
+        p = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16),
+            enc.init(jax.random.PRNGKey(0), x)["params"],
+        )
+        want = jax.jit(lambda p, v: enc.apply({"params": p}, v))(p, x)
+        fe = jax.jit(lambda p, v: encoder_stack_fused(p, v, 128, ks, ks, 2))
+        got = fe(p, x)
+        rel = float(
+            jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)))
+            / jnp.max(jnp.abs(want.astype(jnp.float32)))
+        )
+        print(f"fused encoder k{ks} @448 rel err {rel:.2e}; "
+              f"{timeit(fe, p, x, iters=10):.3f} ms")
+        assert rel < 2e-2, rel
+
+    # fused adaptive conv vs XLA fallback (FeatUp AdaptiveConv semantics)
+    from naf_tpu.kernels.adaptive_conv_fused import adaptive_conv_fused
+    from naf_tpu.ops.adaptive_conv import adaptive_conv as adaptive_conv_xla
+
+    ks2 = jax.random.split(jax.random.PRNGKey(6), 2)
+    src = jax.random.normal(ks2[0], (1, 454, 454, 384), jnp.float32)
+    ker = jax.random.uniform(ks2[1], (1, 448, 448, 7, 7), jnp.float32)
+    ga = jax.jit(adaptive_conv_fused)(src, ker)
+    sample = jnp.abs(ga[:, ::97, ::89]).max()
+    assert bool(jnp.isfinite(sample))
+    print("adaptive conv fused @448 x384: %.3f ms"
+          % timeit(jax.jit(adaptive_conv_fused), src, ker, iters=10))
 
 
 if __name__ == "__main__":
