@@ -22,12 +22,22 @@ def main():
             f"--{factor.replace('_', '-')}", action="store_true",
             help=f"sweep {factor} over {SWEEPS[factor]}",
         )
+    ap.add_argument("--large-img", action="store_true",
+                    help="end-to-end backbone+NAF rows (896^2/r2, 1792^2/r4)")
     ap.add_argument("--models", nargs="+", default=MODELS)
     ap.add_argument("--values", nargs="+", type=int, default=None)
     ap.add_argument("--out", default="benchmarks/results.json")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--no-backward", action="store_true")
     args = ap.parse_args()
+
+    if args.large_img:
+        from naf_tpu.bench.harness import benchmark_large_img
+
+        for size, ratio in ((896, 2), (1792, 4)):
+            rec = benchmark_large_img(size, ratio, out_path=args.out)
+            print(rec)
+        return
 
     chosen = [f for f in SWEEPS if getattr(args, f)]
     if len(chosen) != 1:

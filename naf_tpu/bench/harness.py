@@ -39,7 +39,10 @@ SWEEPS = {
 # (test/forward_speed.py:10-12); Bilinear/Nearest are cheap context rows
 MODELS = ["Bilinear", "Nearest", "FeatUp", "AnyUp", "JAFAR", "NAF"]
 
-__all__ = ["run_sweep", "benchmark_model", "DEFAULTS", "SWEEPS", "MODELS"]
+__all__ = [
+    "run_sweep", "benchmark_model", "benchmark_large_img",
+    "DEFAULTS", "SWEEPS", "MODELS",
+]
 
 
 def _config_from_factor(factor: str, value: int) -> dict:
@@ -139,6 +142,56 @@ def benchmark_model(
         except Exception as e:  # some baselines have no params to train
             result["bwd_error"] = str(e)[:120]
     return result
+
+
+def benchmark_large_img(
+    img_size: int, ratio: int, dtype=jnp.bfloat16, iters: int = 6,
+    out_path: str = "benchmarks/results.json",
+) -> Dict:
+    """End-to-end backbone+NAF forward (reference "LargeImg" rows,
+    test/test_results.json:553-579: ViT-B backbone + NAF at 896^2/r2 and
+    1792^2/r4; A100 measures 110.05 / 1035.68 ms). The backbone is a
+    random-init ViT-B/16 (weights don't change the timing)."""
+    from naf_tpu.api import load_naf_params
+    from naf_tpu.backbones import PretrainedViTWrapper
+
+    bb = PretrainedViTWrapper("vit_base_patch16_224.dino", dtype=dtype)
+    model, params = load_naf_params()
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    image = jax.random.normal(
+        jax.random.PRNGKey(0), (1, img_size, img_size, 3), dtype
+    )
+
+    def fwd(params, bparams, image):
+        small = jax.image.resize(
+            image, (1, img_size // ratio, img_size // ratio, 3), "linear"
+        )
+        feats = bb.model.apply({"params": bparams}, small)
+        return model.apply(
+            {"params": params}, image, feats, (img_size, img_size)
+        )
+
+    rec = {
+        "model": "NAF+ViT-B/16", "factor": "large_img", "img_size": img_size,
+        "ratio": ratio, "embed_dim": bb.embed_dim, "dtype": jnp.dtype(dtype).name,
+        "lr_size": (img_size // ratio) // 16,
+    }
+    rec["fwd_ms"] = round(
+        device_time_ms(fwd, params, bb.params, image, iters=iters), 3
+    )
+    existing = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    existing = [
+        r for r in existing
+        if not (r.get("factor") == "large_img" and r.get("img_size") == img_size
+                and r.get("ratio") == ratio and r.get("dtype") == rec["dtype"])
+    ]
+    existing.append(rec)
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=1)
+    return rec
 
 
 def run_sweep(
