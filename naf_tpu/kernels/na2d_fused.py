@@ -106,12 +106,17 @@ def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
             nc = (bc_h + kernel - 1) * (bc_w + kernel - 1)
             nc_pad = _pad128(nc)
             ll = g * nc_pad  # logits lanes per group
-            # VMEM: double-buffered q/out tiles + k2/v tiles + f32 logits
+            # VMEM: double-buffered q/out tiles + k2/v tiles + f32 logits.
+            # All groups' logits are live together (QKs are batched before
+            # the softmaxes for MXU/VPU overlap), plus ~50% softmax temps.
             tile_bytes = cq * n * (d + dv) * itemsize * 2
-            chunk_q = min(cq, (2_500_000 // 4) // max(ll, 1))
-            logit_bytes = max(chunk_q, bw) * ll * 4
+            chunk_q = min(cq, (2_500_000 // 4) // max((n // g) * ll, 1))
+            chunk_q = max(chunk_q, bw)
+            logit_bytes = chunk_q * (n // g) * ll * 6
+            # every head's f32 AV output is live until the lane-concat
+            outs_bytes = n * chunk_q * dv_eff * 4
             kv_bytes = (n // g) * ll * gd_eff * itemsize + n * nc_pad * dv_eff * itemsize
-            if tile_bytes + logit_bytes + kv_bytes > vmem_budget:
+            if tile_bytes + logit_bytes + outs_bytes + kv_bytes > vmem_budget:
                 continue
             programs = -(-hk // bc_h) * -(-wk // bc_w)
             qk_flops = (n // g) * 2 * cq * gd_eff * ll
@@ -694,9 +699,10 @@ def _fused_fwd_impl(
     g = _head_group(n, d)
     nc_pad = _pad128(nc)
 
-    # chunk_rows: multiple of r_h (so in-kernel cell math is exact), sized to
-    # keep the f32 logits chunk (chunk_rows * bw * g * nc_pad) <= ~2.5 MB.
-    budget_rows = max((2_500_000 // 4) // max(g * nc_pad * bw, 1), 1)
+    # chunk_rows: multiple of r_h (so in-kernel cell math is exact), sized
+    # to keep ALL groups' f32 logits + per-head AV outputs <= ~2.5 MB.
+    f32_lanes = (n // g) * g * nc_pad + n * _pad128(dv)
+    budget_rows = max((2_500_000 // 4) // max(f32_lanes * bw, 1), 1)
     chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
     while bh % chunk_rows:
         chunk_rows -= r_h
