@@ -438,6 +438,26 @@ def _fused_diff_bwd(kernel_size, scale, interpret, row_cell0, full_hq, res, g):
     q, k, v = res
     if row_cell0 != 0 or full_hq != q.shape[1]:
         raise NotImplementedError("banded fused NA is inference-only")
+    b, hq, wq, n, d = q.shape
+    _, hk, wk, _, dv = v.shape
+    blocks = pick_cell_blocks(
+        hq // hk, wq // wk, hk, wk, kernel_size, n, d, dv,
+        q.dtype.itemsize, vmem_budget=3 * 2 ** 20,
+    )
+    if blocks is None:
+        # Shapes the Pallas backward can't tile (e.g. many-head small-d
+        # configs under the tighter backward VMEM budget): differentiate
+        # the XLA oracle instead — training-time grids are small, so the
+        # oracle VJP is affordable there.
+        from naf_tpu.ops.na2d import cross_scale_na2d
+
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: cross_scale_na2d(
+                q_, k_, v_, kernel_size, scale=scale
+            ),
+            q, k, v,
+        )
+        return vjp(g)
     return _fused_bwd_impl(q, k, v, g, kernel_size, scale, interpret)
 
 

@@ -86,7 +86,9 @@ class JBUStack(nn.Module):
 
     def setup(self):
         if self.ratio not in (2, 4, 8, 16):
-            raise ValueError("ratio must be one of 2/4/8/16")
+            raise ValueError(
+                "ratio must be one of 2/4/8/16 (reference JBUStack assert,\n src/model/featup.py:32)"
+            )
         self.up1 = JBULearnedRange(3, 32, radius=3)
         self.up2 = JBULearnedRange(3, 32, radius=3)
         self.up3 = JBULearnedRange(3, 32, radius=3)

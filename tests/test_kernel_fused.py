@@ -52,3 +52,27 @@ def test_fused_applicability_gates():
     assert not fused_applicable(48, 48, 5, 5, 9)  # grid < kernel
     assert fused_applicable(448, 448, 28, 28, 9)
     assert fused_applicable(2048, 2048, 128, 128, 9)
+
+
+def test_backward_oracle_fallback_many_heads():
+    """Shapes whose Pallas backward doesn't tile under the bwd VMEM budget
+    must fall back to the oracle VJP rather than erroring (AnyUp's 8-head
+    d=32 config at training time)."""
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 48, 48, 8, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 12, 12, 8, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 12, 12, 8, 24), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(cross_scale_na2d_fused(q, k, v, 5, interpret=True) ** 2)
+
+    def loss_oracle(q, k, v):
+        from naf_tpu.ops.na2d import cross_scale_na2d
+
+        return jnp.sum(cross_scale_na2d(q, k, v, 5) ** 2)
+
+    ga = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
