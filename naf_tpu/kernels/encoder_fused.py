@@ -297,15 +297,53 @@ def _reflect_conv_xla(x, kernel, bias, kernel_size: int):
     return y + bias
 
 
+def _encoder_stack_xla(params, x, hidden, kernel_size, ks_res, num_layers,
+                       num_groups, eps):
+    """Pure-XLA functional twin of naf_tpu.nn.Encoder (same param tree, same
+    math) — used as the differentiation surface for the fused stack."""
+    y = _reflect_conv_xla(
+        x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"],
+        kernel_size,
+    )
+    b = y.shape[0]
+    for i in range(num_layers):
+        blk = params[f"block{i}"]
+        for norm_name, conv_name in (("norm1", "conv1"), ("norm2", "conv2")):
+            ps = _channel_sums(y)
+            scale, shift = _gn_affine(
+                ps, blk[norm_name]["scale"], blk[norm_name]["bias"],
+                y.shape[1] * y.shape[2], num_groups, eps,
+            )
+            z = y.astype(jnp.float32) * scale[:, None, None] + shift[:, None, None]
+            z = (z * jax.nn.sigmoid(z)).astype(y.dtype)
+            y = _reflect_conv_xla(
+                z, blk[conv_name]["conv"]["kernel"],
+                blk[conv_name]["conv"]["bias"], ks_res,
+            )
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def encoder_stack_fused(
-    params, x, hidden: int, kernel_size: int, ks_res: int, num_layers: int,
-    num_groups: int = 8, eps: float = 1e-5, interpret: bool = False,
+    params, x, hidden: int, kernel_size: int = 3, ks_res: int = 3,
+    num_layers: int = 2, num_groups: int = 8, eps: float = 1e-5,
+    interpret: bool = False,
 ):
     """Fused equivalent of naf_tpu.nn.Encoder.__call__ (same param tree).
 
     The stem conv stays in XLA (3 input channels are Pallas-hostile and it
     is a tiny fraction of the FLOPs); every GN->SiLU->conv layer runs fused.
-    """
+    Differentiable: the backward runs through the pure-XLA twin (training
+    grids are small in NAF's scheme, and the fused gate only engages at
+    448^2+ anyway)."""
+    return _stack_fwd_impl(
+        params, x, hidden, kernel_size, ks_res, num_layers, num_groups, eps,
+        interpret,
+    )
+
+
+def _stack_fwd_impl(params, x, hidden, kernel_size, ks_res, num_layers,
+                    num_groups, eps, interpret):
     b, h, wd, _ = x.shape
     y = _reflect_conv_xla(
         x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"],
@@ -326,3 +364,27 @@ def encoder_stack_fused(
                 kernel_size=ks_res, interpret=interpret,
             )
     return y
+
+
+def _stack_vjp_fwd(params, x, hidden, kernel_size, ks_res, num_layers,
+                   num_groups, eps, interpret):
+    out = _stack_fwd_impl(
+        params, x, hidden, kernel_size, ks_res, num_layers, num_groups, eps,
+        interpret,
+    )
+    return out, (params, x)
+
+
+def _stack_vjp_bwd(hidden, kernel_size, ks_res, num_layers, num_groups, eps,
+                   interpret, res, g):
+    params, x = res
+    _, vjp = jax.vjp(
+        lambda p, v: _encoder_stack_xla(
+            p, v, hidden, kernel_size, ks_res, num_layers, num_groups, eps
+        ),
+        params, x,
+    )
+    return vjp(g)
+
+
+encoder_stack_fused.defvjp(_stack_vjp_fwd, _stack_vjp_bwd)

@@ -83,3 +83,29 @@ def test_adaptive_conv_fused_matches_xla():
     want = adaptive_conv(src, ker)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stack_gradients_match_flax():
+    """The fused stack's custom VJP (XLA-twin backward) must match
+    jax.grad of the flax Encoder."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 16, 3), jnp.float32)
+    enc = Encoder(128, kernel_size=3, ks_res=3, num_layers=2)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss_fused(p, v):
+        return jnp.sum(
+            encoder_stack_fused(p, v, 128, 3, 3, 2, interpret=True) ** 2
+        )
+
+    def loss_flax(p, v):
+        return jnp.sum(enc.apply({"params": p}, v) ** 2)
+
+    ga = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    gb = jax.grad(loss_flax, argnums=(0, 1))(params, x)
+    la = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(ga)}
+    lb = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    assert la.keys() == lb.keys()
+    for k in la:
+        np.testing.assert_allclose(np.asarray(la[k]), np.asarray(lb[k]),
+                                   rtol=5e-3, atol=5e-3)
