@@ -112,6 +112,12 @@ def benchmark_model(
         "params": _count_params(wrapper.params),
         "dtype": jnp.dtype(dtype).name,
     }
+    if name == "AnyUp":
+        # no hub checkpoint reachable in this env (models/anyup.py:79-91)
+        result["note"] = (
+            "random-init weights; timing-equivalent to the trained model, "
+            "semantics-different"
+        )
 
     lowered = jax.jit(fwd).lower(params, image, feats)
     compiled = lowered.compile()
@@ -140,8 +146,26 @@ def benchmark_model(
             )
             result["bwd_mem_mb"] = _mem_mb(c_bwd)
         except Exception as e:  # some baselines have no params to train
-            result["bwd_error"] = str(e)[:120]
+            # include the exception type: a bare AssertionError stringifies
+            # to "" and becomes an invisible silent-null regression
+            result["bwd_error"] = f"{type(e).__name__}: {e}"[:200]
+            if _is_retryable(e):
+                result["bwd_retryable"] = True
+    else:
+        result["bwd_skip"] = "backward disabled for this run (--no-backward)"
     return result
+
+
+def _is_retryable(e: Exception) -> bool:
+    """Transport/compile-service flakes (axon remote compile over HTTP), as
+    opposed to real shape/memory/numerics failures."""
+    import re
+
+    return bool(re.search(
+        r"HTTP|http error|500|502|503|Connection|socket|[Tt]imed? ?out|"
+        r"UNAVAILABLE|DEADLINE",
+        str(e),
+    ))
 
 
 def benchmark_large_img(
@@ -212,27 +236,12 @@ def run_sweep(
         cfg = _config_from_factor(factor, value)
         for name in models:
             print(f"bench {name} {factor}={value} ({cfg})")
-            try:
-                rec = benchmark_model(
-                    name, cfg["img_size"], cfg["embed_dim"], cfg["lr_size"],
-                    dtype=dtype, backward=backward,
-                )
-            except NotImplementedError as e:
-                # structured skip: the config is legitimately unsupported
-                rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
-                       "skip": str(e)[:120]}
-            except ValueError as e:
-                # shape-constraint skips (e.g. L >= k*d natten parity rule)
-                rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
-                       "skip": str(e)[:160]}
-            except Exception as e:
-                rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
-                       "error": str(e)[:200]}
+            rec = _bench_one(name, cfg, dtype, backward)
             rec["factor"] = factor
             results.append(rec)
             print("  ->", {k: rec.get(k) for k in
                            ("fwd_ms", "bwd_ms", "fwd_mem_mb", "gflops",
-                            "skip", "error")})
+                            "skip", "error", "bwd_error")})
             # drop compiled executables + live buffers between models so big
             # configs don't inherit earlier models' HBM footprint
             jax.clear_caches()
@@ -240,8 +249,63 @@ def run_sweep(
                      r.get("embed_dim"), r.get("ratio"), r.get("lr_size"),
                      r.get("dtype"))
     merged = {key(r): r for r in existing}
-    merged.update({key(r): r for r in results})
+    for r in results:
+        merged[key(r)] = _merge_row(merged.get(key(r)), r)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(list(merged.values()), f, indent=1)
     return results
+
+
+def _bench_one(name: str, cfg: dict, dtype, backward: bool) -> dict:
+    """One benchmark row, with a single retry for transport-class flakes
+    (remote-compile HTTP errors must not be archived as results)."""
+    for attempt in (0, 1):
+        try:
+            return benchmark_model(
+                name, cfg["img_size"], cfg["embed_dim"], cfg["lr_size"],
+                dtype=dtype, backward=backward,
+            )
+        except NotImplementedError as e:
+            # structured skip: the config is legitimately unsupported
+            return {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
+                    "skip": str(e)[:160]}
+        except ValueError as e:
+            # Only known shape-constraint messages are benign skips;
+            # anything else is a real failure (kernel-dispatch bugs also
+            # raise ValueError).
+            msg = f"{type(e).__name__}: {e}"
+            if "not supported" in str(e) or "must be" in str(e):
+                return {"model": name, **cfg,
+                        "dtype": jnp.dtype(dtype).name, "skip": msg[:200]}
+            return {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
+                    "error": msg[:240]}
+        except Exception as e:
+            if _is_retryable(e) and attempt == 0:
+                print(f"  retryable error, re-running once: {e}")
+                jax.clear_caches()
+                continue
+            rec = {"model": name, **cfg, "dtype": jnp.dtype(dtype).name,
+                   "error": f"{type(e).__name__}: {e}"[:240]}
+            if _is_retryable(e):
+                rec["retryable"] = True
+            return rec
+
+
+def _merge_row(old: Optional[dict], new: dict) -> dict:
+    """Monotone refresh: never downgrade a measured backward number to
+    silent absence. If the prior row carried bwd_ms and the new one has
+    neither a measurement nor a structured bwd marker, the old backward
+    fields are carried over with an explicit provenance note."""
+    if not old or "bwd_ms" in new:
+        return new
+    if "bwd_ms" in old and "bwd_error" not in new:
+        # new row ran with backward disabled (bwd_skip) or predates the
+        # marker: a measured number is strictly more information than either
+        new = dict(new)
+        new.pop("bwd_skip", None)
+        for k in ("bwd_ms", "bwd_mem_mb"):
+            if k in old:
+                new[k] = old[k]
+        new["bwd_note"] = "carried from a previous run (backward not re-run)"
+    return new

@@ -77,12 +77,14 @@ class AnyUpsampler(nn.Module):
 
 
 def convert_checkpoint(state_dict):
-    """Map a locally downloaded wimmerth/anyup torch state dict onto the
-    AnyUpsampler parameter tree.
+    """STUB — unconditionally raises ``NotImplementedError``.
 
-    Only tensors whose roles are recognizable by name/shape are mapped
-    (conv kernels OIHW->HWIO, norm affine); anything else raises so the
-    caller knows the hub layout changed rather than silently loading noise.
+    No wimmerth/anyup hub checkpoint is reachable in this environment (no
+    network egress), so the concrete tensor-name key map cannot be written
+    or validated. When a local checkpoint exists, implement the mapping here
+    (conv kernels OIHW->HWIO, norm affine renames) before loading; until
+    then any AnyUpsampler instance is random-init (timing-equivalent to the
+    trained model, semantics-different — benchmark rows note this).
     """
     raise NotImplementedError(
         "No AnyUp hub checkpoint is available in this environment (no "

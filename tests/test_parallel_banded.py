@@ -75,6 +75,35 @@ def test_adaptive_conv_matches_direct():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_adaptive_conv_grads_match_oracle():
+    """adaptive_conv's custom VJP (shared by the fused Pallas path and the
+    XLA fallback) must match jax.grad of a naive unrolled formulation in
+    both d_source and d_kernel (round-2 regression: the fused TPU path had
+    no VJP at all, breaking FeatUp/JBU training)."""
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.randn(2, 8, 9, 5).astype(np.float32))
+    kern = jnp.asarray(rng.rand(2, 6, 7, 3, 3).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 6, 7, 5).astype(np.float32))
+
+    def naive(s, k):
+        out = jnp.zeros((2, 6, 7, 5), jnp.float32)
+        for i in range(3):
+            for j in range(3):
+                out = out + s[:, i : i + 6, j : j + 7] * k[:, :, :, i, j, None]
+        return out
+
+    def loss_ours(s, k):
+        return jnp.sum(adaptive_conv(s, k) * cot)
+
+    def loss_naive(s, k):
+        return jnp.sum(naive(s, k) * cot)
+
+    ds, dk = jax.grad(loss_ours, argnums=(0, 1))(src, kern)
+    ds_ref, dk_ref = jax.grad(loss_naive, argnums=(0, 1))(src, kern)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=1e-5)
+
+
 def test_band_rows_ignored_in_training_mode():
     """band_rows is an inference-only knob: train=True must take the
     differentiable unbanded path (and produce identical output)."""
