@@ -1,0 +1,499 @@
+"""Fully-fused NAF upsampling attention — Pallas TPU kernel.
+
+The reference inference path (src/model/naf.py:34,51,104-116) materializes,
+at output resolution H x W: the adaptively pooled-up encoder output, its
+RoPE'd copy (the queries), and nearest-upsampled K/V. At 2048^2 that is
+three+ full passes over multi-GB arrays before attention even starts. Here
+ONE kernel computes, per (bh x bw) output tile, entirely in VMEM:
+
+  x_up = adaptive pool-up of the (hi x wi) encoder-output tile
+         (column pool as small MXU matmuls + static row blends; the tile
+         geometry is chosen so bh * hi / H is an integer, which makes the
+         pool-up weight pattern identical for every tile and the encoder
+         block index map affine -- no gathers, no halos)
+  q    = RoPE(x_up)  (rotate-half via signed-permutation matmul + separable
+         row/col sin/cos tables, exactly naf_tpu.nn.rope's formulation)
+  out  = cross-scale neighborhood attention over k x k LR-cell windows
+         (per-head MXU matmuls against union K/V tiles with <=128 cells,
+         f32 softmax; window rule identical to naf_tpu.kernels.na2d_fused)
+
+so neither the pooled-up grid, the queries, nor upsampled K/V ever touch
+HBM: traffic is one read of the encoder output + K/V tiles and one write of
+the output. Keys are computed separately by the separable collapse
+RoPE.pooled (naf_tpu/nn/rope.py) -- also without touching the H x W grid.
+
+K/V union tiles are built host-side by a single 1 KB-row gather over a
+cell-major source; K is block-diag-expanded so each head's QK is one
+128-contraction matmul on a 128-aligned lane slice (q holds g = lcm(d,128)/d
+heads per aligned slice; head j's K occupies sub-lanes [j*d, (j+1)*d) of its
+block, zeros elsewhere).
+
+Inference-only (training grids are small; the modular path is used there).
+Replaces: natten fused NA + the pool/rope glue around it
+(reference src/layers/attentions.py:69-75, src/model/naf.py:34-51).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from naf_tpu.kernels.na2d_fused import _head_group
+from naf_tpu.ops.pool import _pool_matrix
+
+__all__ = ["naf_upsample_attention", "fused_q_applicable", "pick_geometry"]
+
+
+def _ceil8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+@functools.lru_cache(maxsize=512)
+def pick_geometry(hq, wq, hi, wi, hk, wk, kernel, n, d, dv, itemsize=4):
+    """Choose (bc_h, bc_w) cell-block sizes, or None if unsupported.
+
+    Constraints:
+      - integer cell ratios r = hq/hk, wq/wk; cell blocks divide the LR grid
+      - union tile (bc_h+k-1)(bc_w+k-1) <= 128 (single lane group: QK and AV
+        both run at the MXU's 128-lane floor)
+      - bh*hi % hq == 0 and bw*wi % wq == 0 (integer input rows/cols per
+        tile -> affine encoder blocks, tile-invariant pool-up pattern)
+      - q-tile dims (bh, bw) multiples of 8 (Mosaic sublane rule)
+    Preference: maximize cells per block (fewer programs), then squarer.
+    """
+    if hq % hk or wq % wk or hk < kernel or wk < kernel:
+        return None
+    if n * d < 128 or (n * d) % 128:
+        return None
+    r_h, r_w = hq // hk, wq // wk
+    best = None
+    for bc_h in range(1, hk + 1):
+        if hk % bc_h or bc_h + kernel - 1 > hk:
+            continue
+        bh = bc_h * r_h
+        if bh % 8 or (bh * hi) % hq:
+            continue
+        for bc_w in range(1, wk + 1):
+            if wk % bc_w or bc_w + kernel - 1 > wk:
+                continue
+            if (bc_h + kernel - 1) * (bc_w + kernel - 1) > 128:
+                continue
+            bw = bc_w * r_w
+            if bw % 8 or (bw * wi) % wq:
+                continue
+            if bh * bw * (n * d + dv * n) * itemsize > 3 * 2 ** 20:  # q+out
+                continue
+            score = (bc_h * bc_w, -abs(bc_h - bc_w))
+            if best is None or score > best[0]:
+                best = (score, (bc_h, bc_w))
+    return best[1] if best else None
+
+
+def fused_q_applicable(hq, wq, hi, wi, hk, wk, kernel, n=4, d=64, dv=96,
+                       itemsize=4):
+    return pick_geometry(
+        hq, wq, hi, wi, hk, wk, kernel, n, d, dv, itemsize
+    ) is not None
+
+
+@functools.lru_cache(maxsize=512)
+def _cell_index_table(hk, wk, bc_h, bc_w, kernel, cell0=0, n_cells=None):
+    """(nCH, nCW, 128) int32 cell indices into the flat (hk*wk + 1)-row
+    source (last row zero) for every union tile; padded slots point at the
+    zero row AND decode to tile-cell rows >= kb_h, so the window mask
+    excludes them without a separate pad predicate. cell0/n_cells select a
+    band of cell rows (banded execution); clamping uses the full hk so
+    windows match the global rule."""
+    kb_h = bc_h + kernel - 1
+    kb_w = bc_w + kernel - 1
+    nc = kb_h * kb_w
+    nh = kernel // 2
+    if n_cells is None:
+        n_cells = hk - cell0
+    row0 = np.clip(
+        cell0 + np.arange(n_cells // bc_h) * bc_h - nh, 0, hk - kb_h
+    )
+    col0 = np.clip(np.arange(wk // bc_w) * bc_w - nh, 0, wk - kb_w)
+    c = np.arange(128)
+    t, s = c // kb_w, c % kb_w
+    idx = (row0[:, None, None] + t) * wk + (col0[None, :, None] + s)
+    idx = np.where(c < nc, idx, hk * wk)
+    return idx.astype(np.int32)
+
+
+def _build_tiles_q(k_scaled, v, g, bc_h, bc_w, kernel, cell0=0, n_cells=None):
+    """Host-side K2/V union tiles via one 1KB-row gather each.
+
+    k_scaled: (b, hk, wk, n, d) with softmax scale folded in.
+    Returns k2 (b, nCH, nCW, 128, n*g*d) block-diag-expanded per head and
+    vt (b, nCH, nCW, 128, n*dv) raw cell rows.
+    """
+    b, hk, wk, n, d = k_scaled.shape
+    dv = v.shape[-1]
+    p_groups = n // g
+    gd = g * d
+    idx = jnp.asarray(
+        _cell_index_table(hk, wk, bc_h, bc_w, kernel, cell0, n_cells)
+    )
+
+    eye = jnp.eye(g, dtype=k_scaled.dtype)  # (j_head, j_lane)
+    kr = k_scaled.reshape(b, hk * wk, p_groups, g, 1, d)
+    ksrc = (kr * eye[:, :, None]).reshape(b, hk * wk, n * gd)
+    ksrc = jnp.pad(ksrc, ((0, 0), (0, 1), (0, 0)))
+    k2 = jnp.take(ksrc, idx, axis=1)  # (b, nCH, nCW, 128, n*gd)
+
+    vsrc = jnp.pad(v.reshape(b, hk * wk, n * dv), ((0, 0), (0, 1), (0, 0)))
+    vt = jnp.take(vsrc, idx, axis=1)  # (b, nCH, nCW, 128, n*dv)
+    return k2, vt
+
+
+def _kernel(
+    enc_ref,   # (1, ih|bh, iwe|bw, C) VMEM encoder tile (Element blocks)
+    k2_ref,    # (1, 1, 1, 128, n*gd) VMEM block-diag K union tile
+    v_ref,     # (1, 1, 1, 128, n*dv) VMEM V union tile
+    rows_ref,  # (bh, 2C) VMEM row cos|sin table slice
+    cols_ref,  # (bw, 2C) VMEM col cos|sin table slice
+    rmat_ref,  # (C, C) VMEM rotate-half matrix (whole array)
+    o_ref,     # (1, bh, bw, n*dv) VMEM output tile
+    xc_ref,    # scratch (ih, bw, C) f32 column-pooled rows (None if identity)
+    xup_ref,   # scratch (bh, bw, C) io-dtype pooled-up tile (None if identity)
+    col_pool_ref=None,  # (bw, iwe) f32 local col-pool matrix (None if identity)
+    *,
+    kernel_size: int,
+    num_heads: int,
+    group: int,
+    r_h: int,
+    r_w: int,
+    bc_h: int,
+    bc_w: int,
+    hk: int,
+    wk: int,
+    chunk_rows: int,
+    pool_identity: bool,
+    row_taps: tuple,        # per out row: ((in_row, weight), ...) (static)
+    cell0: int = 0,         # first (global) cell row of this band
+):
+    kk = kernel_size
+    nh = kk // 2
+    kb_h = bc_h + kk - 1
+    kb_w = bc_w + kk - 1
+    ci0 = cell0 + pl.program_id(1) * bc_h
+    cj0 = pl.program_id(2) * bc_w
+    row0 = jnp.clip(ci0 - nh, 0, hk - kb_h)
+    col0 = jnp.clip(cj0 - nh, 0, wk - kb_w)
+
+    n = num_heads
+    g = group
+    bh = bc_h * r_h
+    bw = bc_w * r_w
+    c_dim = rmat_ref.shape[0]
+    gd = g * (c_dim // n)
+    dv = v_ref.shape[-1] // n
+    nc_pad = 128
+
+    dtype = o_ref.dtype
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    # ---- pool-up into the xup scratch (skipped when hi == hq) ----
+    if not pool_identity:
+        ih = enc_ref.shape[2]
+        pcol = col_pool_ref[...].astype(enc_ref.dtype)  # (bw, iwe)
+        for r in range(ih):
+            xc_ref[r] = jax.lax.dot_general(
+                pcol, enc_ref[0, 0, r],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        for o in range(bh):
+            taps = row_taps[o]
+            acc = taps[0][1] * xc_ref[taps[0][0]]
+            for i, wgt in taps[1:]:
+                acc = acc + wgt * xc_ref[i]
+            xup_ref[o] = acc.astype(dtype)
+
+    # ---- window mask pieces shared across chunks ----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nc_pad), 1)
+    t_idx = lane // kb_w
+    s_idx = lane - t_idx * kb_w
+    cq = chunk_rows * bw
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0)
+    i_loc = rows_c // bw
+    j_loc = rows_c - i_loc * bw
+    cell_w = cj0 + j_loc // r_w
+    ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
+    ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)  # (cq, nc_pad)
+
+    cos_c3 = cols_ref[:, :c_dim][None]  # (1, bw, C)
+    sin_c3 = cols_ref[:, c_dim:][None]
+    rmat = rmat_ref[...]
+
+    n_chunks = bh // chunk_rows
+    for ck in range(n_chunks):
+        o0 = ck * chunk_rows
+        if pool_identity:
+            x3 = enc_ref[0, pl.ds(o0, chunk_rows)]  # (chunk, bw, C)
+        else:
+            x3 = xup_ref[pl.ds(o0, chunk_rows)]
+        x2 = x3.reshape(cq, c_dim)
+
+        # ---- RoPE ----
+        rot = jax.lax.dot_general(
+            x2, rmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(dtype).reshape(chunk_rows, bw, c_dim)
+        cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None, :]
+        sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None, :]
+        q3 = x3 * (cos_r3 * cos_c3) + rot * (sin_r3 * sin_c3)
+        q2 = q3.reshape(cq, c_dim)
+
+        # ---- mask for this chunk ----
+        cell_h = ci0 + (o0 + i_loc) // r_h
+        ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
+        ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
+        bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
+
+        # ---- per-head NA (all QK issued before softmax/AV for overlap) ----
+        logits = []
+        for h in range(n):
+            p = h // g
+            qg = q2[:, p * gd : (p + 1) * gd]
+            km = k2_ref[0, 0, 0][:, h * gd : (h + 1) * gd]  # (128, gd)
+            logits.append(
+                jax.lax.dot_general(
+                    qg, km,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                ) + bias
+            )
+        outs = []
+        for h in range(n):
+            vm = v_ref[0, 0, 0][:, h * dv : (h + 1) * dv]  # (128, dv)
+            if dtype == jnp.float32:
+                m = jnp.max(logits[h], axis=-1, keepdims=True)
+                e = jnp.exp(logits[h] - m)
+                pn = e / jnp.sum(e, axis=-1, keepdims=True)
+                outs.append(
+                    jax.lax.dot_general(
+                        pn.astype(vm.dtype), vm,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+                )
+            else:
+                # bf16 fast path: logits are bounded (RoPE'd encodings,
+                # scale folded), so the max-subtraction pass is unnecessary
+                # (exp never overflows; masked -1e30 underflows to exactly
+                # 0), and normalization is deferred past the AV matmul where
+                # the operand is dv wide instead of nc_pad.
+                e = jnp.exp(logits[h])
+                r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+                av = jax.lax.dot_general(
+                    e.astype(vm.dtype), vm,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+                outs.append(av * r)
+        out = jnp.concatenate(outs, axis=-1) if n > 1 else outs[0]
+        o_ref[0, pl.ds(o0, chunk_rows)] = out.reshape(
+            chunk_rows, bw, n * dv
+        ).astype(o_ref.dtype)
+
+
+def _row_taps(hi: int, hq: int, bh: int, ih: int):
+    """Static per-output-row pool-up taps ((in_row, weight), ...) for one
+    tile; identical for every tile because bh * hi % hq == 0."""
+    mat = _pool_matrix(hi, hq)[:bh, :ih]
+    taps = []
+    for o in range(bh):
+        nz = np.nonzero(mat[o])[0]
+        taps.append(tuple((int(i), float(mat[o, i])) for i in nz))
+    return tuple(taps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "kernel_size", "scale", "interpret",
+                     "geometry", "row_cell0", "band_cells"),
+)
+def naf_upsample_attention(
+    enc, keys, values, rows_tab, cols_tab, rmat,
+    num_heads: int, kernel_size: int, scale=None, interpret: bool = False,
+    geometry=None, row_cell0: int = 0, band_cells=None,
+):
+    """Fused pool-up + RoPE + cross-scale NA.
+
+    Args:
+      enc: (B, hi, wi, C) encoder output (pre pool-up, pre RoPE).
+      keys: (B, hk, wk, C) RoPE'd pooled keys (from RoPE.pooled).
+      values: (B, hk, wk, Cv) raw LR features.
+      rows_tab/cols_tab: (H, 2C) / (W, 2C) concatenated cos|sin RoPE tables
+        for the output grid (RoPE.tables output, cast to enc dtype).
+      rmat: (C, C) rotate-half signed permutation.
+      row_cell0/band_cells: banded execution — compute only LR cell rows
+        [row_cell0, row_cell0 + band_cells) of the output (global window
+        rule; bounds the K/V tile footprint for >3K outputs).
+    Returns: (B, H, W, Cv) — or (B, band_cells * r_h, W, Cv) when banded.
+    """
+    b, hi, wi, c = enc.shape
+    hq, wq = rows_tab.shape[0], cols_tab.shape[0]
+    _, hk, wk, _ = keys.shape
+    cv = values.shape[-1]
+    kk = kernel_size
+    n = num_heads
+    d = c // n
+    dv = cv // n
+    if scale is None:
+        scale = d ** -0.5
+    geom = geometry or pick_geometry(hq, wq, hi, wi, hk, wk, kk, n, d, dv,
+                                     enc.dtype.itemsize)
+    if geom is None:
+        raise ValueError(
+            "shapes not supported by fused-q kernel; use the modular path"
+        )
+    bc_h, bc_w = geom
+    r_h, r_w = hq // hk, wq // wk
+    bh, bw = bc_h * r_h, bc_w * r_w
+    g = _head_group(n, d)
+    gd = g * d
+    n_ch, n_cw = hk // bc_h, wk // bc_w
+
+    dtype = enc.dtype
+    k_scaled = (
+        keys.reshape(b, hk, wk, n, d).astype(jnp.float32) * float(scale)
+    ).astype(dtype)
+    if band_cells is None:
+        band_cells = hk - row_cell0
+    if row_cell0 % bc_h or band_cells % bc_h:
+        raise ValueError(
+            f"band bounds must be multiples of the cell block ({bc_h})"
+        )
+    n_ch = band_cells // bc_h
+    blk_off = row_cell0 // bc_h
+    out_h = band_cells * r_h
+
+    k2, vt = _build_tiles_q(
+        k_scaled, values.reshape(b, hk, wk, n, dv).astype(dtype),
+        g, bc_h, bc_w, kk, row_cell0, band_cells,
+    )
+
+    pool_identity = (hi, wi) == (hq, wq)
+    if pool_identity:
+        ih, iw, iwe = bh, bw, bw
+        col_pool = None
+        row_taps = None
+        enc_spec = pl.BlockSpec(
+            (1, bh, bw, c), lambda bb, ii, jj: (bb, ii + blk_off, jj, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        ih = (bh * hi) // hq
+        iw = (bw * wi) // wq
+        iwe = _ceil8(iw)
+        need_w = (n_cw - 1) * iw + iwe
+        if need_w > wi:
+            enc = jnp.pad(enc, ((0, 0), (0, 0), (0, need_w - wi), (0, 0)))
+        col_pool = np.pad(_pool_matrix(wi, wq)[:bw, :iw], ((0, 0), (0, iwe - iw)))
+        row_taps = _row_taps(hi, hq, bh, ih)
+        # Mosaic requires sublane-tile-aligned block offsets, and iw is
+        # rarely 8-divisible; pre-slice the (cheap, low-res) encoder output
+        # into a per-tile-column layout so every block index is regular.
+        enc = jnp.stack(
+            [enc[:, :, jj * iw : jj * iw + iwe] for jj in range(n_cw)],
+            axis=1,
+        )  # (b, n_cw, hi, iwe, C)
+        enc_spec = pl.BlockSpec(
+            (1, 1, ih, iwe, c),
+            lambda bb, ii, jj: (bb, jj, ii + blk_off, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    # chunk_rows: largest multiple of r_h dividing bh with <= ~1024 queries
+    # per chunk (bounds the live f32 logits/AV buffers).
+    chunk_rows = r_h
+    for m in range(bc_h, 0, -1):
+        if bc_h % m == 0 and m * r_h * bw <= 1024:
+            chunk_rows = m * r_h
+            break
+
+    rows_spec = pl.BlockSpec(
+        (bh, 2 * c), lambda bb, ii, jj: (ii + blk_off, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cols_spec = pl.BlockSpec(
+        (bw, 2 * c), lambda bb, ii, jj: (jj, 0), memory_space=pltpu.VMEM
+    )
+    tile_spec = lambda ch: pl.BlockSpec(
+        (1, 1, 1, 128, ch), lambda bb, ii, jj: (bb, ii, jj, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    scratch = []
+    if not pool_identity:
+        scratch = [
+            pltpu.VMEM((ih, bw, c), jnp.float32),
+            pltpu.VMEM((bh, bw, c), dtype),
+        ]
+
+    def kern(*refs):
+        if pool_identity:
+            enc_r, k2_r, v_r, rows_r, cols_r, rmat_r, o_r = refs
+            xc_r = xup_r = pcol_r = None
+        else:
+            (enc_r, k2_r, v_r, rows_r, cols_r, rmat_r, pcol_r, o_r,
+             xc_r, xup_r) = refs
+        _kernel(
+            enc_r, k2_r, v_r, rows_r, cols_r, rmat_r, o_r, xc_r, xup_r,
+            pcol_r,
+            kernel_size=kk, num_heads=n, group=g, r_h=r_h, r_w=r_w,
+            bc_h=bc_h, bc_w=bc_w, hk=hk, wk=wk, chunk_rows=chunk_rows,
+            pool_identity=pool_identity, row_taps=row_taps,
+            cell0=row_cell0,
+        )
+
+    in_specs = [
+        enc_spec,
+        tile_spec(n * gd),
+        tile_spec(n * dv),
+        rows_spec,
+        cols_spec,
+        pl.BlockSpec((c, c), lambda bb, ii, jj: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [enc, k2, vt, rows_tab.astype(dtype), cols_tab.astype(dtype),
+              rmat.astype(dtype)]
+    if not pool_identity:
+        in_specs.append(
+            pl.BlockSpec((bw, iwe), lambda bb, ii, jj: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(jnp.asarray(col_pool, jnp.float32))
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_ch, n_cw),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, bh, bw, n * dv), lambda bb, ii, jj: (bb, ii, jj, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_h, wq, n * dv), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    return out

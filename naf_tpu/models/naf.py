@@ -96,6 +96,25 @@ class ImageEncoder(nn.Module):
             return jnp.concatenate([pix, sem], axis=-1)
         return jnp.concatenate([self.encoder(x), self.sem_encoder(x)], axis=-1)
 
+    def encode_guarded(
+        self, x: jnp.ndarray, output_size: Tuple[int, int]
+    ) -> jnp.ndarray:
+        """Input guard + dual conv stacks, WITHOUT pooling or RoPE (those are
+        fused downstream by the fused-q inference path)."""
+        oh, ow = int(output_size[0]), int(output_size[1])
+        h, w = x.shape[1], x.shape[2]
+        if (h, w) != self.guard_size(h, w, oh, ow):
+            x = resize_bilinear(x, self.guard_size(h, w, oh, ow))
+        return self.encode(x)
+
+    @staticmethod
+    def guard_size(h: int, w: int, oh: int, ow: int) -> Tuple[int, int]:
+        """Post-guard input size: >4x-output inputs are bilinear-downscaled
+        (reference naf.py:39-48, including its odd min(h, 4oh, 4ow) form)."""
+        if h > 4 * oh or w > 4 * ow:
+            return (min(h, 4 * oh, 4 * ow), min(w, 4 * ow, 4 * oh))
+        return (h, w)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -106,8 +125,8 @@ class ImageEncoder(nn.Module):
         oh, ow = int(output_size[0]), int(output_size[1])
         h, w = x.shape[1], x.shape[2]
         # Input guard: bilinear downscale very large inputs (naf.py:39-48).
-        if h > 4 * oh or w > 4 * ow:
-            x = resize_bilinear(x, (min(h, 4 * oh, 4 * ow), min(w, 4 * ow, 4 * oh)))
+        if (h, w) != self.guard_size(h, w, oh, ow):
+            x = resize_bilinear(x, self.guard_size(h, w, oh, ow))
         x = self.encode(x)
         x = adaptive_avg_pool2d(x, (oh, ow))
         return self.rope(x, train=train, rng=rng)
@@ -169,10 +188,61 @@ class NAF(nn.Module):
         if band_rows is not None and not return_weights and not train:
             return self._banded(image, features, output_size, band_rows)
 
+        if not train and not return_weights and self._fused_q_ok(
+            image, features, output_size
+        ):
+            return self._fused_q(image, features, output_size)
+
         x = self.image_encoder(image, output_size, train=train, rng=rng)
         queries = x  # QueryEncoder is the identity (naf.py:55-60)
         keys = adaptive_avg_pool2d(x, features.shape[1:3])  # KeyEncoder
         return self.upsampler(queries, keys, features, return_weights=return_weights)
+
+    def _fused_q_ok(self, image, features, output_size) -> bool:
+        """Whether the fully-fused inference path applies: pool-up + RoPE +
+        NA in one Pallas kernel (naf_tpu/kernels/na2d_fused_q.py) plus the
+        separable keys collapse (RoPE.pooled) — neither the pooled-up grid
+        nor the queries ever touch HBM."""
+        from naf_tpu.kernels.na2d_fused_q import fused_q_applicable
+
+        if self.is_initializing():
+            return False
+        force = self.na_impl == "fused_q"  # test hook (interpret off-TPU)
+        if not force and jax.default_backend() != "tpu":
+            return False
+        if not force and self.na_impl not in ("auto", "pallas"):
+            return False
+        oh, ow = int(output_size[0]), int(output_size[1])
+        hi, wi = ImageEncoder.guard_size(
+            image.shape[1], image.shape[2], oh, ow
+        )
+        hk, wk = features.shape[1], features.shape[2]
+        if features.shape[-1] % self.heads_attn:
+            return False
+        return fused_q_applicable(
+            oh, ow, hi, wi, hk, wk, self.kernel_size,
+            n=self.heads_attn, d=self.dim // self.heads_attn,
+            dv=features.shape[-1] // self.heads_attn,
+            itemsize=image.dtype.itemsize,
+        )
+
+    def _fused_q(self, image, features, output_size):
+        from naf_tpu.kernels.na2d_fused_q import naf_upsample_attention
+
+        oh, ow = int(output_size[0]), int(output_size[1])
+        hk, wk = features.shape[1], features.shape[2]
+        enc = self.image_encoder.encode_guarded(image, output_size)
+        rope = self.image_encoder.rope
+        keys = rope.pooled(enc, (oh, ow), (hk, wk))
+        sin_r, cos_r, sin_c, cos_c = rope.tables(oh, ow)
+        rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
+        cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
+        return naf_upsample_attention(
+            enc, keys, features, rows_tab, cols_tab,
+            rope.rotate_matrix(enc.dtype),
+            num_heads=self.heads_attn, kernel_size=self.kernel_size,
+            interpret=jax.default_backend() != "tpu",
+        )
 
     def _banded(self, image, features, output_size, band_rows):
         """Row-banded attention (exact; inference only).
@@ -189,14 +259,56 @@ class NAF(nn.Module):
                 "band_rows must divide output height and be a multiple of the "
                 "cell stride (output_height // lr_height)"
             )
+        cells_per_band = band_rows // (oh // hk)
+        if self._fused_q_ok(image, features, output_size):
+            from naf_tpu.kernels.na2d_fused_q import pick_geometry
+
+            geom = pick_geometry(
+                oh, ow, *ImageEncoder.guard_size(
+                    image.shape[1], image.shape[2], oh, ow
+                ), hk, wk, self.kernel_size, self.heads_attn,
+                self.dim // self.heads_attn,
+                features.shape[-1] // self.heads_attn,
+                image.dtype.itemsize,
+            )
+            if geom and cells_per_band % geom[0] == 0:
+                return self._fused_q_banded(
+                    image, features, output_size, cells_per_band
+                )
+
         x = self.image_encoder(image, output_size)
         keys = adaptive_avg_pool2d(x, (hk, wk))
-        cells_per_band = band_rows // (oh // hk)
         outs = [
             self.upsampler(
                 x[:, i0 : i0 + band_rows], keys, features,
                 row_cell0=(i0 // band_rows) * cells_per_band, full_hq=oh,
             )
             for i0 in range(0, oh, band_rows)
+        ]
+        return jnp.concatenate(outs, axis=1)
+
+    def _fused_q_banded(self, image, features, output_size, cells_per_band):
+        """Banded fully-fused path: each band re-runs the kernel over a
+        cell-row range with its own (small) K/V tile footprint. The encoder
+        output, keys, and RoPE tables are computed once and shared."""
+        from naf_tpu.kernels.na2d_fused_q import naf_upsample_attention
+
+        oh, ow = int(output_size[0]), int(output_size[1])
+        hk, wk = features.shape[1], features.shape[2]
+        enc = self.image_encoder.encode_guarded(image, output_size)
+        rope = self.image_encoder.rope
+        keys = rope.pooled(enc, (oh, ow), (hk, wk))
+        sin_r, cos_r, sin_c, cos_c = rope.tables(oh, ow)
+        rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
+        cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
+        rmat = rope.rotate_matrix(enc.dtype)
+        outs = [
+            naf_upsample_attention(
+                enc, keys, features, rows_tab, cols_tab, rmat,
+                num_heads=self.heads_attn, kernel_size=self.kernel_size,
+                interpret=jax.default_backend() != "tpu",
+                row_cell0=c0, band_cells=cells_per_band,
+            )
+            for c0 in range(0, hk, cells_per_band)
         ]
         return jnp.concatenate(outs, axis=1)

@@ -138,6 +138,108 @@ class RoPE(nn.Module):
             ch, cw = ch * rescale[0], cw * rescale[0]
         return ch, cw
 
+    def tables(
+        self,
+        h: int,
+        w: int,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        row_offset: int = 0,
+        full_h: Optional[int] = None,
+    ):
+        """Separable per-axis sin/cos tables: (sin_r, cos_r) of shape (h, C)
+        and (sin_c, cos_c) of shape (w, C), f32. Every channel's angle
+        depends on exactly one axis (the [u, v, u, v] layout of reference
+        rope.py:139-146); ones fill the complementary slots, so
+        ``field = row_table * col_table`` without materializing (h, w, C)."""
+        fh = full_h or h
+        ch, cw = _axis_coords(fh, w, self.normalize_coords)
+        ch = jnp.asarray(ch)[row_offset : row_offset + h]
+        cw = jnp.asarray(cw)
+        if train and rng is not None:
+            ch, cw = self._augment_axes(ch, cw, rng)
+
+        # per-axis angle tables (h, d/4) and (w, d/4), f32
+        au = (2.0 * math.pi) * ch[:, None] / self.periods
+        av = (2.0 * math.pi) * cw[:, None] / self.periods
+        one_u = jnp.ones_like(au)
+        one_v = jnp.ones_like(av)
+        n = self.num_heads
+        sin_r = jnp.tile(
+            jnp.concatenate([jnp.sin(au), one_u, jnp.sin(au), one_u], -1), (1, n)
+        )
+        cos_r = jnp.tile(
+            jnp.concatenate([jnp.cos(au), one_u, jnp.cos(au), one_u], -1), (1, n)
+        )
+        sin_c = jnp.tile(
+            jnp.concatenate([one_v, jnp.sin(av), one_v, jnp.sin(av)], -1), (1, n)
+        )
+        cos_c = jnp.tile(
+            jnp.concatenate([one_v, jnp.cos(av), one_v, jnp.cos(av)], -1), (1, n)
+        )
+        return sin_r, cos_r, sin_c, cos_c
+
+    def rotate_matrix(self, dtype=jnp.float32) -> jnp.ndarray:
+        """(C, C) signed-permutation rotate-half matrix for this head shape."""
+        return jnp.asarray(_rotate_half_matrix(self.num_heads, self.d_head), dtype)
+
+    def pooled(
+        self,
+        x: jnp.ndarray,
+        up_hw: tuple[int, int],
+        down_hw: tuple[int, int],
+    ) -> jnp.ndarray:
+        """``adaptive_pool(rope(adaptive_pool(x, up_hw)), down_hw)`` without
+        materializing the (potentially huge) up_hw grid.
+
+        This is exactly the NAF KeyEncoder path (reference src/model/naf.py:
+        34,51,68: encoder output pooled up to output size, RoPE'd, pooled
+        down to the LR grid). Because every RoPE channel's sin/cos factors
+        into (row table) x (col table) and both pools are separable row/col
+        matrices, each term collapses per channel:
+
+          keys_c = (Pd_r diag(cos_r[:, c]) Pu_r) x_c (Pd_c diag(cos_c[:, c]) Pu_c)^T
+                 + (Pd_r diag(sin_r[:, c]) Pu_r) rot_c (Pd_c diag(sin_c[:, c]) Pu_c)^T
+
+        where rot = x @ rotate_half matrix. The bracketed matrices are
+        (down, in)-shaped per channel — O(hk * hi * C) instead of O(hq^2 * C)
+        work; at 448->2048->128 this replaces ~20 ms of pool-up + rope +
+        keys-pool passes with ~0.5 ms of small einsums.
+
+        Inference-only (no coordinate augmentations).
+        """
+        from naf_tpu.ops.pool import _pool_matrix
+
+        b, hi, wi, c = x.shape
+        oh, ow = int(up_hw[0]), int(up_hw[1])
+        kh, kw = int(down_hw[0]), int(down_hw[1])
+        sin_r, cos_r, sin_c, cos_c = self.tables(oh, ow)
+
+        def axis_mats(out_len, mid_len, in_len, cos_t, sin_t):
+            pu = jnp.asarray(_pool_matrix(in_len, mid_len))  # (mid, in)
+            pd = jnp.asarray(_pool_matrix(mid_len, out_len))  # (out, mid)
+            # (out, mid) x (mid, C) -> per-channel (C, out, in)
+            a_cos = jnp.einsum("oi,ic,ij->coj", pd, cos_t, pu)
+            a_sin = jnp.einsum("oi,ic,ij->coj", pd, sin_t, pu)
+            return a_cos, a_sin
+
+        ar_cos, ar_sin = axis_mats(kh, oh, hi, cos_r, sin_r)
+        ac_cos, ac_sin = axis_mats(kw, ow, wi, cos_c, sin_c)
+
+        dt = x.dtype
+        rot = jnp.einsum(
+            "bhwc,cd->bhwd", x, self.rotate_matrix(dt),
+            precision=(jax.lax.Precision.HIGHEST if dt == jnp.float32
+                       else jax.lax.Precision.DEFAULT),
+        )
+        ar_cos, ar_sin = ar_cos.astype(dt), ar_sin.astype(dt)
+        ac_cos, ac_sin = ac_cos.astype(dt), ac_sin.astype(dt)
+        term_c = jnp.einsum("ckj,bjwc->bkwc", ar_cos, x)
+        term_c = jnp.einsum("clw,bkwc->bklc", ac_cos, term_c)
+        term_s = jnp.einsum("ckj,bjwc->bkwc", ar_sin, rot)
+        term_s = jnp.einsum("clw,bkwc->bklc", ac_sin, term_s)
+        return (term_c + term_s).astype(dt)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -162,32 +264,8 @@ class RoPE(nn.Module):
         b, h, w, c = x.shape
         if c != self.embed_dim:
             raise ValueError(f"expected {self.embed_dim} channels, got {c}")
-        fh = full_h or h
-        ch, cw = _axis_coords(fh, w, self.normalize_coords)
-        ch = jnp.asarray(ch)[row_offset : row_offset + h]
-        cw = jnp.asarray(cw)
-        if train and rng is not None:
-            ch, cw = self._augment_axes(ch, cw, rng)
-
-        # per-axis angle tables (h, d/4) and (w, d/4), f32
-        au = (2.0 * math.pi) * ch[:, None] / self.periods
-        av = (2.0 * math.pi) * cw[:, None] / self.periods
-        one_u = jnp.ones_like(au)
-        one_v = jnp.ones_like(av)
-        # channel layout per head: [u(d/4), v(d/4), u(d/4), v(d/4)];
-        # ones fill the complementary axis so row * col = the true field.
-        n = self.num_heads
-        sin_r = jnp.tile(
-            jnp.concatenate([jnp.sin(au), one_u, jnp.sin(au), one_u], -1), (1, n)
-        )
-        cos_r = jnp.tile(
-            jnp.concatenate([jnp.cos(au), one_u, jnp.cos(au), one_u], -1), (1, n)
-        )
-        sin_c = jnp.tile(
-            jnp.concatenate([one_v, jnp.sin(av), one_v, jnp.sin(av)], -1), (1, n)
-        )
-        cos_c = jnp.tile(
-            jnp.concatenate([one_v, jnp.cos(av), one_v, jnp.cos(av)], -1), (1, n)
+        sin_r, cos_r, sin_c, cos_c = self.tables(
+            h, w, train=train, rng=rng, row_offset=row_offset, full_h=full_h
         )
 
         dt = x.dtype
@@ -201,7 +279,7 @@ class RoPE(nn.Module):
         # tile-padded (..., 32)-minor temporaries (4x HBM at 2K+), while the
         # MXU does the shuffle in one pass. Exact: one +-1 entry per column
         # (HIGHEST keeps f32 operands unsplit; bf16 * +-1 is exact anyway).
-        rmat = jnp.asarray(_rotate_half_matrix(n, self.d_head), x.dtype)
+        rmat = self.rotate_matrix(x.dtype)
         prec = (
             jax.lax.Precision.HIGHEST
             if x.dtype == jnp.float32

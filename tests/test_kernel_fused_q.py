@@ -1,0 +1,131 @@
+"""Fully-fused upsampling attention (pool-up + RoPE + NA in one kernel) vs
+the modular composition, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naf_tpu.kernels.na2d_fused_q import (
+    fused_q_applicable,
+    naf_upsample_attention,
+    pick_geometry,
+)
+from naf_tpu.nn.rope import RoPE
+from naf_tpu.ops import cross_scale_na2d
+from naf_tpu.ops.pool import adaptive_avg_pool2d
+
+
+def _modular(enc, values, rope, params, out_hw, kk, n):
+    """poolup -> rope -> keys pool -> oracle NA (the NAF inference path)."""
+    b, _, _, c = enc.shape
+    hk, wk = values.shape[1:3]
+    d = c // n
+    dv = values.shape[-1] // n
+    xu = adaptive_avg_pool2d(enc, out_hw)
+    x = rope.apply(params, xu)
+    keys = adaptive_avg_pool2d(x, (hk, wk))
+    q = x.reshape(b, *out_hw, n, d)
+    k = keys.reshape(b, hk, wk, n, d)
+    v = values.reshape(b, hk, wk, n, dv)
+    out = cross_scale_na2d(q, k, v, kk, scale=d ** -0.5)
+    return out.reshape(b, *out_hw, n * dv)
+
+
+def _fused(enc, values, rope, params, out_hw, kk, n):
+    b, _, _, c = enc.shape
+    hk, wk = values.shape[1:3]
+    keys = rope.apply(
+        params, enc, up_hw=out_hw, down_hw=(hk, wk), method=rope.pooled
+    )
+    cos_r, _ = None, None
+    sin_r, cos_r, sin_c, cos_c = rope.apply(
+        params, out_hw[0], out_hw[1], method=rope.tables
+    )
+    rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
+    cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
+    rmat = rope.apply(params, method=rope.rotate_matrix)
+    return naf_upsample_attention(
+        enc, keys, values, rows_tab, cols_tab, rmat,
+        num_heads=n, kernel_size=kk, interpret=True,
+    )
+
+
+@pytest.mark.parametrize("hi,wi,out,hk,wk,kk", [
+    (32, 32, (64, 64), 16, 16, 9),     # 2x pool-up, r=4
+    (64, 64, (64, 64), 16, 16, 9),     # identity pool (full-res regime)
+    (24, 24, (64, 64), 16, 16, 9),     # non-integer pool-up ratio (8/3)
+    (24, 16, (64, 32), 16, 8, 5),      # rect grids, k=5
+])
+def test_fused_q_matches_modular(hi, wi, out, hk, wk, kk):
+    n, c, cv = 2, 128, 96
+    assert fused_q_applicable(
+        out[0], out[1], hi, wi, hk, wk, kk, n=n, d=c // n, dv=cv // n
+    ), pick_geometry(out[0], out[1], hi, wi, hk, wk, kk, n, c // n, cv // n)
+    rng = np.random.RandomState(0)
+    enc = jnp.asarray(rng.randn(1, hi, wi, c).astype(np.float32))
+    values = jnp.asarray(rng.randn(1, hk, wk, cv).astype(np.float32))
+    rope = RoPE(embed_dim=c, num_heads=n)
+    params = rope.init(jax.random.PRNGKey(0), enc)
+
+    want = np.asarray(_modular(enc, values, rope, params, out, kk, n))
+    got = np.asarray(_fused(enc, values, rope, params, out, kk, n))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_q_banded_matches_full():
+    """Banded fused-q execution (cell-row ranges) must be bit-identical to
+    the full-grid kernel (global window rule)."""
+    hi = wi = 32
+    out = (64, 64)
+    hk = wk = 16
+    n, c, cv = 2, 128, 96
+    rng = np.random.RandomState(2)
+    enc = jnp.asarray(rng.randn(1, hi, wi, c).astype(np.float32))
+    values = jnp.asarray(rng.randn(1, hk, wk, cv).astype(np.float32))
+    rope = RoPE(embed_dim=c, num_heads=n)
+    params = rope.init(jax.random.PRNGKey(0), enc)
+
+    full = np.asarray(_fused(enc, values, rope, params, out, 9, n))
+
+    keys = rope.apply(
+        params, enc, up_hw=out, down_hw=(hk, wk), method=rope.pooled
+    )
+    sin_r, cos_r, sin_c, cos_c = rope.apply(
+        params, out[0], out[1], method=rope.tables
+    )
+    rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
+    cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
+    rmat = rope.apply(params, method=rope.rotate_matrix)
+    geom = pick_geometry(out[0], out[1], hi, wi, hk, wk, 9, n, c // n,
+                         (cv // n))
+    band = geom[0] * 2  # two cell blocks per band
+    bands = [
+        naf_upsample_attention(
+            enc, keys, values, rows_tab, cols_tab, rmat,
+            num_heads=n, kernel_size=9, interpret=True,
+            row_cell0=c0, band_cells=band,
+        )
+        for c0 in range(0, hk, band)
+    ]
+    got = np.asarray(jnp.concatenate(bands, axis=1))
+    np.testing.assert_array_equal(got, full)
+
+
+def test_naf_fused_q_path_matches_modular():
+    """End-to-end NAF: na_impl='fused_q' (fully-fused inference path,
+    interpret mode) must match na_impl='xla' (modular oracle path)."""
+    from naf_tpu.models.naf import NAF
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+    kw = dict(dim=128, heads_attn=2, heads_rope=2, kernel_size=9,
+              img_layers=1)
+    m_fused = NAF(na_impl="fused_q", **kw)
+    m_xla = NAF(na_impl="xla", **kw)
+    params = m_xla.init(jax.random.PRNGKey(0), img, feats, (64, 64))
+    assert m_fused.bind(params)._fused_q_ok(img, feats, (64, 64))
+    want = np.asarray(m_xla.apply(params, img, feats, (64, 64)))
+    got = np.asarray(m_fused.apply(params, img, feats, (64, 64)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

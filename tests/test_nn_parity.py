@@ -170,3 +170,34 @@ def test_rope_train_augmentations_change_output_deterministically():
     train_out2 = mod.apply({}, x, train=True, rng=rng)
     assert not np.allclose(np.asarray(eval_out), np.asarray(train_out))
     np.testing.assert_array_equal(np.asarray(train_out), np.asarray(train_out2))
+
+
+@pytest.mark.parametrize("hi,up,down", [
+    (14, 64, 8),    # integer up ratio, divisible down
+    (14, 60, 6),    # non-integer up ratio (60/14)
+    (16, 16, 4),    # identity up (full-res regime)
+])
+def test_rope_pooled_keys_matches_modular(hi, up, down):
+    """RoPE.pooled (separable keys collapse) must match
+    pool(rope(pool_up(x))) — the modular KeyEncoder path."""
+    from naf_tpu.ops.pool import adaptive_avg_pool2d
+
+    rope = RoPE(embed_dim=32, num_heads=2)
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(2, hi, hi, 32).astype(np.float32)
+    )
+    params = rope.init(jax.random.PRNGKey(0), x)
+
+    def modular(x):
+        xu = adaptive_avg_pool2d(x, (up, up))
+        r = rope.apply(params, xu)
+        return adaptive_avg_pool2d(r, (down, down))
+
+    def separable(x):
+        return rope.apply(
+            params, x, up_hw=(up, up), down_hw=(down, down), method=rope.pooled
+        )
+
+    want = np.asarray(modular(x))
+    got = np.asarray(separable(x))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
