@@ -69,7 +69,12 @@ def main():
     t448to2048 = _timeit(f3, params, image, feats2, iters=6)
     results["fps_448to2048"] = 1.0 / t448to2048
 
-    # Bare fused NA kernel at the default config.
+    # Bare fused NA kernel at the default config. NOTE: this standalone
+    # number includes the K/V union-tile build AND pays tile-padded HBM
+    # layouts for the 5-D (B,H,W,n,d) inputs that the in-context model path
+    # avoids (its q arrives as a flat-NHWC bitcast) — so it is an upper
+    # bound on the kernel's in-model cost, not the same quantity as the
+    # per-stage attention figure in docs/PERF.md.
     q = jnp.asarray(rng.randn(1, 448, 448, 4, 64), dtype)
     k = jnp.asarray(rng.randn(1, 28, 28, 4, 64), dtype)
     v = jnp.asarray(rng.randn(1, 28, 28, 4, 96), dtype)

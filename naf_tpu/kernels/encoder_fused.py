@@ -64,7 +64,6 @@ def _kernel(
     zf = x_ref[0].astype(jnp.float32) * scale_ref[0] + shift_ref[0]
     if activation:
         zf = zf * jax.nn.sigmoid(zf)
-    z_ref[...] = zf.astype(x_ref.dtype)
 
     prec = (
         jax.lax.Precision.HIGHEST
@@ -72,46 +71,44 @@ def _kernel(
         else jax.lax.Precision.DEFAULT
     )
 
+    f_out = w_ref.shape[-1]
     if kk == 1:
+        # no scratch round-trip: the activated value feeds the dot directly.
+        # Operands flattened to 2-D: a rank-3 lhs with a minor contraction
+        # makes Mosaic emit per-row mini-matmuls instead of one MXU pass.
         acc_ref[...] = jax.lax.dot_general(
-            z_ref[...],
+            zf.astype(x_ref.dtype).reshape(bh * bw, -1),
             w_ref[0],
-            dimension_numbers=(((2,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
-        )
+        ).reshape(bh, bw, f_out)
     else:
-        # fori_loop over the row taps: a fully unrolled tap chain lets the
-        # scheduler issue every dot before the accumulating adds, keeping
-        # kh*kw f32 accumulator-sized values live at once (observed scoped
-        # VMEM ~2x the intended budget). The loop serializes row taps, so
-        # at most kw parts are live; dy indexes the scratch ref dynamically
-        # (rows are a non-minor dim — unrestricted).
-        # initialize then accumulate rows 1.. via the loop (dy=0 writes).
-        def body(dy, _):
-            zrow = z_ref[pl.ds(dy, bh)]
-            acc = None
+        # Static unroll of the kk*kk taps with two interleaved accumulation
+        # chains. The previous fori_loop over row taps serialized the MXU at
+        # ~25% of its bound at 2048^2 (each iteration's dots waited on the
+        # loop-carried scratch accumulate); a static unroll lets the
+        # scheduler pipeline the dots. Two chains (instead of the original
+        # single fully-unrolled chain) bound the number of accumulator-sized
+        # f32 values the scheduler keeps live — _pick_tiles budgets for
+        # kk + 1 of them.
+        z_ref[...] = zf.astype(x_ref.dtype)
+        acc0 = acc1 = None
+        for dy in range(kk):
+            zrow = z_ref[dy : dy + bh]
             for dx in range(kk):
                 part = jax.lax.dot_general(
-                    zrow[:, dx : dx + bw, :],
+                    zrow[:, dx : dx + bw, :].reshape(bh * bw, -1),
                     w_ref[dy * kk + dx],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )
-                acc = part if acc is None else acc + part
-
-            @pl.when(dy == 0)
-            def _init():
-                acc_ref[...] = acc
-
-            @pl.when(dy > 0)
-            def _accum():
-                acc_ref[...] = acc_ref[...] + acc
-
-            return _
-
-        jax.lax.fori_loop(0, kk, body, None)
+                if (dy * kk + dx) % 2 == 0:
+                    acc0 = part if acc0 is None else acc0 + part
+                else:
+                    acc1 = part if acc1 is None else acc1 + part
+        acc_ref[...] = (acc0 + acc1).reshape(bh, bw, f_out)
 
     y = acc_ref[...] + b_ref[0]
     yc = y.astype(y_ref.dtype)
@@ -137,7 +134,7 @@ def _pick_tiles(h: int, w: int, c: int, f: int, kk: int, itemsize: int):
             x_t = (bh + pad_r) * (bw + pad_c) * c * itemsize
             y_t = bh * bw * f * itemsize
             acc = bh * bw * f * 4
-            live_parts = (3 if kk == 3 else 1) * acc
+            live_parts = ((kk + 1) if kk == 3 else 1) * acc
             use = (
                 3 * x_t + 2 * y_t + acc + live_parts
                 + kk * kk * c * f * itemsize

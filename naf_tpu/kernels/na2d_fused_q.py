@@ -54,6 +54,10 @@ def _ceil8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+# queries per in-kernel chunk; tunable (live f32 = ~n_heads * 2 * this * 512B)
+_CHUNK_Q_BUDGET = 1024
+
+
 @functools.lru_cache(maxsize=512)
 def pick_geometry(hq, wq, hi, wi, hk, wk, kernel, n, d, dv, itemsize=4):
     """Choose (bc_h, bc_w) cell-block sizes, or None if unsupported.
@@ -308,7 +312,8 @@ def _kernel(
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )
-                outs.append(av * r)
+                # cast before the concat: halves the live out-buffer bytes
+                outs.append((av * r).astype(o_ref.dtype))
         out = jnp.concatenate(outs, axis=-1) if n > 1 else outs[0]
         o_ref[0, pl.ds(o0, chunk_rows)] = out.reshape(
             chunk_rows, bw, n * dv
@@ -423,11 +428,11 @@ def naf_upsample_attention(
             memory_space=pltpu.VMEM,
         )
 
-    # chunk_rows: largest multiple of r_h dividing bh with <= ~1024 queries
-    # per chunk (bounds the live f32 logits/AV buffers).
+    # chunk_rows: largest multiple of r_h dividing bh with a bounded query
+    # count per chunk (bounds the live f32 logits/AV buffers).
     chunk_rows = r_h
     for m in range(bc_h, 0, -1):
-        if bc_h % m == 0 and m * r_h * bw <= 1024:
+        if bc_h % m == 0 and m * r_h * bw <= _CHUNK_Q_BUDGET:
             chunk_rows = m * r_h
             break
 

@@ -140,7 +140,12 @@ class NAF(nn.Module):
       heads_attn / heads_rope: attention / rope head counts.
       kernel_size: neighborhood window size (odd).
       rope_rescale: train-time log-uniform coordinate rescale bound.
-      na_impl: attention implementation ("auto" | "pallas" | "xla").
+      na_impl: attention implementation ("auto" | "pallas" | "xla" |
+        "fused_q"). "auto" prefers, in order: the fully-fused inference
+        path (pool-up + RoPE + NA in one Pallas kernel,
+        kernels/na2d_fused_q.py), the fused NA kernel (kernels/
+        na2d_fused.py), then the XLA oracle. "fused_q" forces the first
+        (interpret-mode off-TPU; used by parity tests).
     """
 
     dim: int = 256

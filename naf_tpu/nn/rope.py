@@ -213,18 +213,46 @@ class RoPE(nn.Module):
         b, hi, wi, c = x.shape
         oh, ow = int(up_hw[0]), int(up_hw[1])
         kh, kw = int(down_hw[0]), int(down_hw[1])
-        sin_r, cos_r, sin_c, cos_c = self.tables(oh, ow)
+        ch, cw = _axis_coords(oh, ow, self.normalize_coords)
+        nfreq = self.d_head // 4
 
-        def axis_mats(out_len, mid_len, in_len, cos_t, sin_t):
+        def axis_mats(out_len, mid_len, in_len, coords):
+            """Per-channel (C, out, in) pool-down * table * pool-up matrices.
+
+            The angle tables have only d_head//4 distinct frequency columns
+            (tiled across heads and u/v slots, plus all-ones slots), so the
+            expensive (out, mid) x (mid, in) contraction runs on nfreq+1
+            unique channels and is gathered out to C."""
+            ang = (2.0 * math.pi) * jnp.asarray(coords)[:, None] / self.periods
             pu = jnp.asarray(_pool_matrix(in_len, mid_len))  # (mid, in)
             pd = jnp.asarray(_pool_matrix(mid_len, out_len))  # (out, mid)
-            # (out, mid) x (mid, C) -> per-channel (C, out, in)
-            a_cos = jnp.einsum("oi,ic,ij->coj", pd, cos_t, pu)
-            a_sin = jnp.einsum("oi,ic,ij->coj", pd, sin_t, pu)
-            return a_cos, a_sin
+            ones = jnp.ones((mid_len, 1), jnp.float32)
+            uniq = jnp.concatenate(
+                [jnp.cos(ang), jnp.sin(ang), ones], axis=-1
+            )  # (mid, 2*nfreq + 1)
+            a_uniq = jnp.einsum("oi,iu,ij->uoj", pd, uniq, pu)
+            return a_uniq  # (2*nfreq + 1, out, in)
 
-        ar_cos, ar_sin = axis_mats(kh, oh, hi, cos_r, sin_r)
-        ac_cos, ac_sin = axis_mats(kw, ow, wi, cos_c, sin_c)
+        def expand(a_uniq, this_axis_first: bool):
+            # channel layout per head: [u(nf), v(nf), u(nf), v(nf)]; the
+            # cos table has cos in this axis's slots, ones in the other's;
+            # the sin table has sin here, ones there.
+            f = np.arange(nfreq)
+            one = 2 * nfreq
+            if this_axis_first:  # row axis (u slots)
+                cos_map = np.concatenate([f, [one] * nfreq] * 2)
+                sin_map = np.concatenate([f + nfreq, [one] * nfreq] * 2)
+            else:  # col axis (v slots)
+                cos_map = np.concatenate([[one] * nfreq, f] * 2)
+                sin_map = np.concatenate([[one] * nfreq, f + nfreq] * 2)
+            cos_map = np.tile(cos_map, self.num_heads)
+            sin_map = np.tile(sin_map, self.num_heads)
+            return a_uniq[jnp.asarray(cos_map)], a_uniq[jnp.asarray(sin_map)]
+
+        ar = axis_mats(kh, oh, hi, ch)
+        ac = axis_mats(kw, ow, wi, cw)
+        ar_cos, ar_sin = expand(ar, True)
+        ac_cos, ac_sin = expand(ac, False)
 
         dt = x.dtype
         rot = jnp.einsum(

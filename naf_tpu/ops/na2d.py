@@ -119,7 +119,10 @@ def cross_scale_na2d(q, k, v, kernel_size, scale=None, return_weights=False,
             qb, ib = args
             return _na2d_from_indices(qb, k, v, ib, idx_w, scale, False)
 
-        out = jax.lax.map(band, (q_bands, idx_bands))
+        # remat: without it, reverse-mode through lax.map saves every band's
+        # gathered K/V windows as residuals — the full O(H*W*k^2*d) tensor
+        # the blocking exists to avoid (AnyUp backward OOM'd at 448^2).
+        out = jax.lax.map(jax.checkpoint(band), (q_bands, idx_bands))
         out = out.swapaxes(0, 1).reshape(b, nb * row_block, wq, *out.shape[4:])
         return out[:, :hq]
 
