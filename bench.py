@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: axon remote compiles take minutes per new
+# kernel; repeated bench invocations in one round must not re-pay them.
+jax.config.update("jax_compilation_cache_dir", "/tmp/naf_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def _timeit(fn, *args, iters=15):
     """Per-call seconds via chained on-device loop (tunnel-safe, fold-safe)."""

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from naf_tpu.convert import naf_params_from_torch
 from naf_tpu.models.naf import NAF
 
-__all__ = ["naf", "load_naf_params", "NAFUpsampler"]
+__all__ = ["naf", "load_naf_params", "NAFUpsampler", "naf_streamed"]
 
 
 def load_naf_params(
@@ -109,3 +109,86 @@ class NAFUpsampler:
         return naf(
             self.model, self.params, image, lr_feats, target_size, channels_last
         )
+
+
+def naf_streamed(
+    model,
+    params,
+    image,
+    lr_feats,
+    target_size: Tuple[int, int],
+    band_rows: int,
+    interpret: bool = False,
+):
+    """Streamed huge-output upsampling (4096^2+): one donated jit per band.
+
+    A single-jit banded forward cannot avoid duplicating the output at the
+    jit boundary (XLA copies the in-place-assembled result into the program
+    output buffer: 2 x 12.9 GB at 4096^2 bf16, which exceeds HBM). Here the
+    output buffer lives across jit calls and is DONATED to each band call,
+    which aliases it straight into the fused kernel
+    (naf_tpu.kernels.na2d_fused_q out_acc): peak memory is the output plus
+    one band's K/V tiles. Channels-last (NHWC) only; inference only.
+
+    The reference's maximum feature size is 2048^2 (README.md:98).
+    """
+    from naf_tpu.kernels.na2d_fused_q import (
+        naf_upsample_attention,
+        pick_geometry,
+    )
+    from naf_tpu.models.naf import ImageEncoder
+
+    oh, ow = int(target_size[0]), int(target_size[1])
+    image = jnp.asarray(image)
+    lr_feats = jnp.asarray(lr_feats)
+    hk, wk = lr_feats.shape[1], lr_feats.shape[2]
+    if oh % hk or oh % band_rows or band_rows % (oh // hk):
+        raise ValueError(
+            "band_rows must divide output height and be a multiple of the "
+            "cell stride (output_height // lr_height)"
+        )
+    cells_per_band = band_rows // (oh // hk)
+    hi, wi = ImageEncoder.guard_size(image.shape[1], image.shape[2], oh, ow)
+    geom = pick_geometry(
+        oh, ow, hi, wi, hk, wk, model.kernel_size, model.heads_attn,
+        model.dim // model.heads_attn,
+        lr_feats.shape[-1] // model.heads_attn, image.dtype.itemsize,
+    )
+    if geom is None or cells_per_band % geom[0]:
+        raise ValueError(
+            f"no fused-q tile geometry for image {hi}x{wi} -> {oh}x{ow} "
+            f"(geometry {geom}, band of {cells_per_band} cell rows). The "
+            "kernel needs integer input rows per tile: pick an image size "
+            "with hi*r_h % oh == 0 (e.g. a 512^2 image for 4096^2 output) "
+            "and band_rows a multiple of geometry[0] * (oh // lr_h)."
+        )
+    d_head = model.dim // model.heads_rope
+
+    @jax.jit
+    def prep(params, image):
+        b = model.bind({"params": params})
+        enc = b.image_encoder.encode_guarded(image, (oh, ow))
+        keys = b.image_encoder.rope.pooled(enc, (oh, ow), (hk, wk))
+        sin_r, cos_r, sin_c, cos_c = b.image_encoder.rope.tables(oh, ow)
+        rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
+        cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
+        return enc, keys, rows_tab, cols_tab
+
+    enc, keys, rows_tab, cols_tab = prep(params, image)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+    def band(out, enc, keys, feats, tabs, c0):
+        rows_tab, cols_tab = tabs
+        return naf_upsample_attention(
+            enc, keys, feats, rows_tab, cols_tab, d_head,
+            num_heads=model.heads_attn, kernel_size=model.kernel_size,
+            row_cell0=c0, band_cells=cells_per_band, out_acc=out,
+            interpret=interpret,
+        )
+
+    out = jnp.zeros(
+        (image.shape[0], oh, ow, lr_feats.shape[-1]), enc.dtype
+    )
+    for c0 in range(0, hk, cells_per_band):
+        out = band(out, enc, keys, lr_feats, (rows_tab, cols_tab), c0)
+    return out

@@ -10,9 +10,14 @@ into benchmarks/results.json keyed on (model, factor, dims).
 
 import argparse
 
+import jax
 import jax.numpy as jnp
 
 from naf_tpu.bench.harness import MODELS, SWEEPS, run_sweep
+
+# Persistent compile cache (axon remote compiles cost minutes per kernel).
+jax.config.update("jax_compilation_cache_dir", "/tmp/naf_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():

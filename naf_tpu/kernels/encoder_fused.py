@@ -58,6 +58,7 @@ def _kernel(
     bh: int,
     bw: int,
     activation: bool,
+    diag: str = "",  # timing-only ablations ("nopsum"/"notaps")
 ):
     kk = kernel_size
 
@@ -97,6 +98,8 @@ def _kernel(
         for dy in range(kk):
             zrow = z_ref[dy : dy + bh]
             for dx in range(kk):
+                if diag == "notaps":
+                    dx = 0  # timing ablation: all column taps read aligned
                 part = jax.lax.dot_general(
                     zrow[:, dx : dx + bw, :].reshape(bh * bw, -1),
                     w_ref[dy * kk + dx],
@@ -114,8 +117,12 @@ def _kernel(
     yc = y.astype(y_ref.dtype)
     y_ref[0] = yc
 
-    ps_ref[0, 0, 0, 0, :] = jnp.sum(y, axis=(0, 1))
-    ps_ref[0, 0, 0, 1, :] = jnp.sum(y * y, axis=(0, 1))
+    if diag == "nopsum":
+        ps_ref[0, 0, 0, 0, :] = y[0, 0]
+        ps_ref[0, 0, 0, 1, :] = y[0, 0]
+    else:
+        ps_ref[0, 0, 0, 0, :] = jnp.sum(y, axis=(0, 1))
+        ps_ref[0, 0, 0, 1, :] = jnp.sum(y * y, axis=(0, 1))
 
 
 def _pick_tiles(h: int, w: int, c: int, f: int, kk: int, itemsize: int):
@@ -154,11 +161,12 @@ def fused_encoder_applicable(x_shape, kernel_size: int, hidden: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel_size", "activation", "interpret")
+    jax.jit,
+    static_argnames=("kernel_size", "activation", "interpret", "_diag"),
 )
 def gn_silu_conv_fused(
     x, scale, shift, w, b, kernel_size: int, activation: bool = True,
-    interpret: bool = False,
+    interpret: bool = False, _diag: str = "",
 ):
     """One fused encoder layer. x (B,H,W,C) -> (y (B,H,W,F), psums (B,2,F)).
 
@@ -208,7 +216,8 @@ def gn_silu_conv_fused(
 
     y, ps = pl.pallas_call(
         functools.partial(
-            _kernel, kernel_size=kk, bh=bh, bw=bw, activation=activation
+            _kernel, kernel_size=kk, bh=bh, bw=bw, activation=activation,
+            diag=_diag,
         ),
         grid=(bsz, np_i, np_j),
         in_specs=[

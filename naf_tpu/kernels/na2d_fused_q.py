@@ -11,8 +11,8 @@ ONE kernel computes, per (bh x bw) output tile, entirely in VMEM:
          geometry is chosen so bh * hi / H is an integer, which makes the
          pool-up weight pattern identical for every tile and the encoder
          block index map affine -- no gathers, no halos)
-  q    = RoPE(x_up)  (rotate-half via signed-permutation matmul + separable
-         row/col sin/cos tables, exactly naf_tpu.nn.rope's formulation)
+  q    = RoPE(x_up)  (rotate-half via in-VMEM lane rolls + separable
+         row/col sin/cos tables; same math as naf_tpu.nn.rope)
   out  = cross-scale neighborhood attention over k x k LR-cell windows
          (per-head MXU matmuls against union K/V tiles with <=128 cells,
          f32 softmax; window rule identical to naf_tpu.kernels.na2d_fused)
@@ -163,7 +163,6 @@ def _kernel(
     v_ref,     # (1, 1, 1, 128, n*dv) VMEM V union tile
     rows_ref,  # (bh, 2C) VMEM row cos|sin table slice
     cols_ref,  # (bw, 2C) VMEM col cos|sin table slice
-    rmat_ref,  # (C, C) VMEM rotate-half matrix (whole array)
     o_ref,     # (1, bh, bw, n*dv) VMEM output tile
     xc_ref,    # scratch (ih, bw, C) f32 column-pooled rows (None if identity)
     xup_ref,   # scratch (bh, bw, C) io-dtype pooled-up tile (None if identity)
@@ -181,7 +180,9 @@ def _kernel(
     chunk_rows: int,
     pool_identity: bool,
     row_taps: tuple,        # per out row: ((in_row, weight), ...) (static)
+    rope_d_head: int = 64,  # RoPE head width (for rotate-half rolls)
     cell0: int = 0,         # first (global) cell row of this band
+    diag: str = "",         # timing-only ablations ("noexp"/"nomask"/"norope")
 ):
     kk = kernel_size
     nh = kk // 2
@@ -196,7 +197,7 @@ def _kernel(
     g = group
     bh = bc_h * r_h
     bw = bc_w * r_w
-    c_dim = rmat_ref.shape[0]
+    c_dim = rows_ref.shape[1] // 2
     gd = g * (c_dim // n)
     dv = v_ref.shape[-1] // n
     nc_pad = 128
@@ -240,7 +241,16 @@ def _kernel(
 
     cos_c3 = cols_ref[:, :c_dim][None]  # (1, bw, C)
     sin_c3 = cols_ref[:, c_dim:][None]
-    rmat = rmat_ref[...]
+
+    # rotate-half as two lane rolls + select: rot[c] = -x[c + dh/2] for the
+    # first half of each rope head, x[c - dh/2] for the second (both stay
+    # within the head, so whole-row rolls are exact). The HBM-level code
+    # (nn/rope.py) uses a signed-permutation matmul because channel slicing
+    # materializes tile-padded minor-dim temporaries THERE; in VMEM the
+    # rolls are vreg shuffles and the matmul's 2*HW*C^2 FLOPs are pure waste.
+    dh2 = rope_d_head // 2
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c_dim), 2)
+    first_half = (lane_c % rope_d_head) < dh2
 
     n_chunks = bh // chunk_rows
     for ck in range(n_chunks):
@@ -249,25 +259,37 @@ def _kernel(
             x3 = enc_ref[0, pl.ds(o0, chunk_rows)]  # (chunk, bw, C)
         else:
             x3 = xup_ref[pl.ds(o0, chunk_rows)]
-        x2 = x3.reshape(cq, c_dim)
 
         # ---- RoPE ----
-        rot = jax.lax.dot_general(
-            x2, rmat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        ).astype(dtype).reshape(chunk_rows, bw, c_dim)
-        cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None, :]
-        sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None, :]
-        q3 = x3 * (cos_r3 * cos_c3) + rot * (sin_r3 * sin_c3)
+        # Mosaic's tpu.dynamic_rotate only handles 32-bit lanes; roll the
+        # f32 view (the rot term is consumed in f32 mul-adds anyway).
+        if diag == "norope":
+            q3 = x3
+        else:
+            x3f = x3.astype(jnp.float32)
+            r1 = pltpu.roll(x3f, c_dim - dh2, 2)  # x[c + dh/2]
+            r2 = pltpu.roll(x3f, dh2, 2)          # x[c - dh/2]
+            rot = jnp.where(first_half, -r1, r2).astype(x3.dtype)
+            cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None, :]
+            sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None, :]
+            q3 = x3 * (cos_r3 * cos_c3) + rot * (sin_r3 * sin_c3)
         q2 = q3.reshape(cq, c_dim)
 
         # ---- mask for this chunk ----
-        cell_h = ci0 + (o0 + i_loc) // r_h
-        ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
-        ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
+        # When the chunk spans exactly one LR cell row (chunk_rows == r_h at
+        # high ratios), every query shares the same window row: ws_h is a
+        # per-chunk scalar and ok_h a (1, nc) row vector instead of (cq, nc).
+        if chunk_rows <= r_h:
+            cell_h0 = ci0 + (o0 // r_h)
+            ws_h = jnp.clip(cell_h0 - nh, 0, hk - kk) - row0
+            ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)  # (1, nc_pad)
+        else:
+            cell_h = ci0 + (o0 + i_loc) // r_h
+            ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
+            ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
         bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
+        if diag == "nomask":
+            bias = jnp.zeros_like(bias)
 
         # ---- per-head NA (all QK issued before softmax/AV for overlap) ----
         logits = []
@@ -304,7 +326,7 @@ def _kernel(
                 # (exp never overflows; masked -1e30 underflows to exactly
                 # 0), and normalization is deferred past the AV matmul where
                 # the operand is dv wide instead of nc_pad.
-                e = jnp.exp(logits[h])
+                e = logits[h] if diag == "noexp" else jnp.exp(logits[h])
                 r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
                 av = jax.lax.dot_general(
                     e.astype(vm.dtype), vm,
@@ -333,13 +355,15 @@ def _row_taps(hi: int, hq: int, bh: int, ih: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "kernel_size", "scale", "interpret",
-                     "geometry", "row_cell0", "band_cells"),
+    static_argnames=("rope_d_head", "num_heads", "kernel_size", "scale",
+                     "interpret", "geometry", "row_cell0", "band_cells",
+                     "_diag"),
 )
 def naf_upsample_attention(
-    enc, keys, values, rows_tab, cols_tab, rmat,
+    enc, keys, values, rows_tab, cols_tab, rope_d_head=64, *,
     num_heads: int, kernel_size: int, scale=None, interpret: bool = False,
-    geometry=None, row_cell0: int = 0, band_cells=None,
+    geometry=None, row_cell0: int = 0, band_cells=None, out_acc=None,
+    _diag: str = "",
 ):
     """Fused pool-up + RoPE + cross-scale NA.
 
@@ -349,11 +373,17 @@ def naf_upsample_attention(
       values: (B, hk, wk, Cv) raw LR features.
       rows_tab/cols_tab: (H, 2C) / (W, 2C) concatenated cos|sin RoPE tables
         for the output grid (RoPE.tables output, cast to enc dtype).
-      rmat: (C, C) rotate-half signed permutation.
+      rope_d_head: RoPE head width (rotate-half pairs channels +-d/2 apart
+        within each head; applied in-kernel by lane rolls).
       row_cell0/band_cells: banded execution — compute only LR cell rows
         [row_cell0, row_cell0 + band_cells) of the output (global window
         rule; bounds the K/V tile footprint for >3K outputs).
-    Returns: (B, H, W, Cv) — or (B, band_cells * r_h, W, Cv) when banded.
+      out_acc: optional (B, H, W, Cv) buffer ALIASED into the output; the
+        band's rows are written in place and every other row keeps its
+        prior contents. This is what makes 4096^2 fit: the 12.9 GB output
+        plus a separate band buffer would exceed HBM.
+    Returns: (B, H, W, Cv) — or, without out_acc, the banded
+      (B, band_cells * r_h, W, Cv) slab.
     """
     b, hi, wi, c = enc.shape
     hq, wq = rows_tab.shape[0], cols_tab.shape[0]
@@ -456,19 +486,21 @@ def naf_upsample_attention(
         ]
 
     def kern(*refs):
+        if out_acc is not None:
+            refs = refs[:n_live_in] + refs[n_live_in + 1 :]  # drop alias ref
         if pool_identity:
-            enc_r, k2_r, v_r, rows_r, cols_r, rmat_r, o_r = refs
+            enc_r, k2_r, v_r, rows_r, cols_r, o_r = refs
             xc_r = xup_r = pcol_r = None
         else:
-            (enc_r, k2_r, v_r, rows_r, cols_r, rmat_r, pcol_r, o_r,
+            (enc_r, k2_r, v_r, rows_r, cols_r, pcol_r, o_r,
              xc_r, xup_r) = refs
         _kernel(
-            enc_r, k2_r, v_r, rows_r, cols_r, rmat_r, o_r, xc_r, xup_r,
+            enc_r, k2_r, v_r, rows_r, cols_r, o_r, xc_r, xup_r,
             pcol_r,
             kernel_size=kk, num_heads=n, group=g, r_h=r_h, r_w=r_w,
             bc_h=bc_h, bc_w=bc_w, hk=hk, wk=wk, chunk_rows=chunk_rows,
             pool_identity=pool_identity, row_taps=row_taps,
-            cell0=row_cell0,
+            rope_d_head=rope_d_head, cell0=row_cell0, diag=_diag,
         )
 
     in_specs = [
@@ -477,11 +509,8 @@ def naf_upsample_attention(
         tile_spec(n * dv),
         rows_spec,
         cols_spec,
-        pl.BlockSpec((c, c), lambda bb, ii, jj: (0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    inputs = [enc, k2, vt, rows_tab.astype(dtype), cols_tab.astype(dtype),
-              rmat.astype(dtype)]
+    inputs = [enc, k2, vt, rows_tab.astype(dtype), cols_tab.astype(dtype)]
     if not pool_identity:
         in_specs.append(
             pl.BlockSpec((bw, iwe), lambda bb, ii, jj: (0, 0),
@@ -489,16 +518,34 @@ def naf_upsample_attention(
         )
         inputs.append(jnp.asarray(col_pool, jnp.float32))
 
+    n_live_in = len(inputs)
+    aliases = {}
+    if out_acc is not None:
+        # band writes land at their global rows of the ALIASED full buffer;
+        # rows outside the band are never touched and keep their contents
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(out_acc)
+        aliases = {n_live_in: 0}
+        out_spec = pl.BlockSpec(
+            (1, bh, bw, n * dv), lambda bb, ii, jj: (bb, ii + blk_off, jj, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(out_acc.shape, dtype)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, bh, bw, n * dv), lambda bb, ii, jj: (bb, ii, jj, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((b, out_h, wq, n * dv), dtype)
+
     out = pl.pallas_call(
         kern,
         grid=(b, n_ch, n_cw),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, bh, bw, n * dv), lambda bb, ii, jj: (bb, ii, jj, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, out_h, wq, n * dv), dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*inputs)
     return out

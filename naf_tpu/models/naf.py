@@ -243,8 +243,7 @@ class NAF(nn.Module):
         rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
         cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
         return naf_upsample_attention(
-            enc, keys, features, rows_tab, cols_tab,
-            rope.rotate_matrix(enc.dtype),
+            enc, keys, features, rows_tab, cols_tab, rope.d_head,
             num_heads=self.heads_attn, kernel_size=self.kernel_size,
             interpret=jax.default_backend() != "tpu",
         )
@@ -306,14 +305,23 @@ class NAF(nn.Module):
         sin_r, cos_r, sin_c, cos_c = rope.tables(oh, ow)
         rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
         cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
-        rmat = rope.rotate_matrix(enc.dtype)
-        outs = [
-            naf_upsample_attention(
-                enc, keys, features, rows_tab, cols_tab, rmat,
+        # Each band ALIASES the result buffer into the kernel and writes its
+        # rows in place: peak memory is the output plus one band's K/V tiles
+        # (a concat — or even a separate band slab — pushes 4096^2 past HBM).
+        out = jnp.zeros(
+            (image.shape[0], oh, ow, features.shape[-1]), enc.dtype
+        )
+        for c0 in range(0, hk, cells_per_band):
+            # barrier: each band's K/V tile gather must not be hoisted ahead
+            # of the previous band (all bands' tiles live at once re-OOMs
+            # what banding exists to bound)
+            out, feats_b, keys_b = jax.lax.optimization_barrier(
+                (out, features, keys)
+            )
+            out = naf_upsample_attention(
+                enc, keys_b, feats_b, rows_tab, cols_tab, rope.d_head,
                 num_heads=self.heads_attn, kernel_size=self.kernel_size,
                 interpret=jax.default_backend() != "tpu",
-                row_cell0=c0, band_cells=cells_per_band,
+                row_cell0=c0, band_cells=cells_per_band, out_acc=out,
             )
-            for c0 in range(0, hk, cells_per_band)
-        ]
-        return jnp.concatenate(outs, axis=1)
+        return out

@@ -38,15 +38,13 @@ def _fused(enc, values, rope, params, out_hw, kk, n):
     keys = rope.apply(
         params, enc, up_hw=out_hw, down_hw=(hk, wk), method=rope.pooled
     )
-    cos_r, _ = None, None
     sin_r, cos_r, sin_c, cos_c = rope.apply(
         params, out_hw[0], out_hw[1], method=rope.tables
     )
     rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
     cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
-    rmat = rope.apply(params, method=rope.rotate_matrix)
     return naf_upsample_attention(
-        enc, keys, values, rows_tab, cols_tab, rmat,
+        enc, keys, values, rows_tab, cols_tab, c // n,
         num_heads=n, kernel_size=kk, interpret=True,
     )
 
@@ -96,13 +94,12 @@ def test_fused_q_banded_matches_full():
     )
     rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
     cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
-    rmat = rope.apply(params, method=rope.rotate_matrix)
     geom = pick_geometry(out[0], out[1], hi, wi, hk, wk, 9, n, c // n,
                          (cv // n))
     band = geom[0] * 2  # two cell blocks per band
     bands = [
         naf_upsample_attention(
-            enc, keys, values, rows_tab, cols_tab, rmat,
+            enc, keys, values, rows_tab, cols_tab, c // n,
             num_heads=n, kernel_size=9, interpret=True,
             row_cell0=c0, band_cells=band,
         )
@@ -110,6 +107,44 @@ def test_fused_q_banded_matches_full():
     ]
     got = np.asarray(jnp.concatenate(bands, axis=1))
     np.testing.assert_array_equal(got, full)
+
+
+def test_naf_fused_q_banded_model_matches_unbanded():
+    """NAF band_rows routed through the banded fused-q path (DUS assembly)
+    must equal the unbanded fused-q forward exactly."""
+    from naf_tpu.models.naf import NAF
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+    m = NAF(na_impl="fused_q", dim=128, heads_attn=2, heads_rope=2,
+            kernel_size=9, img_layers=1)
+    params = m.init(jax.random.PRNGKey(0), img, feats, (64, 64))
+    full = np.asarray(m.apply(params, img, feats, (64, 64)))
+    banded = np.asarray(m.apply(params, img, feats, (64, 64), band_rows=16))
+    np.testing.assert_array_equal(banded, full)
+
+
+def test_naf_streamed_matches_model():
+    """naf_streamed (per-band donated jits, aliased output buffer) must
+    match the in-model fused-q forward. Not bit-exact: prep is a separate
+    jit from the model's single program, so XLA fuses the encoder/keys
+    differently (f32 rounding only)."""
+    from naf_tpu.api import naf_streamed
+    from naf_tpu.models.naf import NAF
+
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+    m = NAF(na_impl="fused_q", dim=128, heads_attn=2, heads_rope=2,
+            kernel_size=9, img_layers=1)
+    params = m.init(jax.random.PRNGKey(0), img, feats, (64, 64))["params"]
+    full = np.asarray(m.apply({"params": params}, img, feats, (64, 64)))
+    got = np.asarray(
+        naf_streamed(m, params, img, feats, (64, 64), band_rows=16,
+                     interpret=True)
+    )
+    np.testing.assert_allclose(got, full, atol=1e-5, rtol=1e-4)
 
 
 def test_naf_fused_q_path_matches_modular():
