@@ -88,22 +88,52 @@ def main():
         _timeit(fk, q, k, v) * 1e3
     )
 
+    # Beyond-reference capability: 4096^2 output (reference ceiling is
+    # 2048^2, README.md:98) via the streamed per-band donated-jit path.
+    # Timed by wall clock across the band calls (multiple jits; the scalar
+    # fetch at the end synchronizes through the tunnel) — includes ~8 band
+    # dispatch round-trips, so this is a conservative figure.
+    try:
+        import time
+
+        from naf_tpu.api import naf_streamed
+
+        img512 = jnp.asarray(rng.randn(1, 512, 512, 3), dtype)
+        feats4k = jnp.asarray(rng.randn(1, 256, 256, 384), dtype)
+        o = naf_streamed(model, params, img512, feats4k, (4096, 4096),
+                         band_rows=512)
+        ok = bool(jnp.isfinite(o[0, ::512, ::512, 0].astype(jnp.float32)).all())
+        _ = float(o[0, -1, -1, 0])
+        del o
+        t0 = time.time()
+        o = naf_streamed(model, params, img512, feats4k, (4096, 4096),
+                         band_rows=512)
+        _ = float(o[0, -1, -1, 0])
+        t4k = time.time() - t0
+        del o
+        if ok:
+            results["fps_4096"] = 1.0 / t4k
+    except Exception as e:
+        results["fps_4096_error"] = f"{type(e).__name__}: {e}"[:120]
+
     ref_fps = 1000.0 / 56.24  # A100 reference, test_results.json:243-256
-    print(
-        json.dumps(
-            {
-                "metric": "naf_fwd_fps_448_r16_dim384",
-                "value": round(results["fps_448"], 2),
-                "unit": "fps",
-                "vs_baseline": round(results["fps_448"] / ref_fps, 2),
-                "fps_2048_r16": round(results["fps_2048"], 2),
-                "fps_448to2048_r16": round(results["fps_448to2048"], 2),
-                "na_kernel_ms_448": round(results["na_kernel_ms_448"], 3),
-                "device": str(jax.devices()[0]),
-                "dtype": "bfloat16",
-            }
-        )
-    )
+    line = {
+        "metric": "naf_fwd_fps_448_r16_dim384",
+        "value": round(results["fps_448"], 2),
+        "unit": "fps",
+        "vs_baseline": round(results["fps_448"] / ref_fps, 2),
+        "fps_2048_r16": round(results["fps_2048"], 2),
+        "fps_448to2048_r16": round(results["fps_448to2048"], 2),
+        "na_kernel_ms_448": round(results["na_kernel_ms_448"], 3),
+        "device": str(jax.devices()[0]),
+        "dtype": "bfloat16",
+    }
+    for key in ("fps_4096", "fps_4096_error"):
+        if key in results:
+            line[key] = (
+                round(results[key], 3) if key == "fps_4096" else results[key]
+            )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

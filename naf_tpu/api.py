@@ -119,6 +119,7 @@ def naf_streamed(
     target_size: Tuple[int, int],
     band_rows: int,
     interpret: bool = False,
+    stream_encoder: Optional[bool] = None,
 ):
     """Streamed huge-output upsampling (4096^2+): one donated jit per band.
 
@@ -129,6 +130,14 @@ def naf_streamed(
     which aliases it straight into the fused kernel
     (naf_tpu.kernels.na2d_fused_q out_acc): peak memory is the output plus
     one band's K/V tiles. Channels-last (NHWC) only; inference only.
+
+    When the guarded guide image is itself large (>= ~2K^2; enc would not
+    coexist with the output), `stream_encoder` kicks in: the encoder runs
+    via the banded two-pass-GroupNorm pipeline
+    (naf_tpu.kernels.encoder_banded) — one sweep accumulates the pooled
+    keys band by band (RoPE.pooled is row-linear), then each attention band
+    recomputes only its own encoder rows. The full-resolution encoder
+    output never exists. Auto-enabled when enc would exceed ~1.5 GB.
 
     The reference's maximum feature size is 2048^2 (README.md:98).
     """
@@ -163,6 +172,14 @@ def naf_streamed(
             "and band_rows a multiple of geometry[0] * (oh // lr_h)."
         )
     d_head = model.dim // model.heads_rope
+    if stream_encoder is None:
+        enc_bytes = hi * wi * model.dim * image.dtype.itemsize
+        stream_encoder = enc_bytes > 1.5 * 2**30
+    if stream_encoder:
+        return _naf_streamed_banded_encoder(
+            model, params, image, lr_feats, oh, ow, hi, wi,
+            cells_per_band, interpret,
+        )
 
     @jax.jit
     def prep(params, image):
@@ -191,4 +208,102 @@ def naf_streamed(
     )
     for c0 in range(0, hk, cells_per_band):
         out = band(out, enc, keys, lr_feats, (rows_tab, cols_tab), c0)
+    return out
+
+
+def _naf_streamed_banded_encoder(
+    model, params, image, lr_feats, oh, ow, hi, wi, cells_per_band, interpret
+):
+    """Fully-streamed path: banded two-pass encoder + banded fused
+    attention. See naf_streamed. The encoder's final chain runs twice (once
+    for the pooled-keys accumulation, once feeding each attention band);
+    FLOPs are cheap at this scale, residency is not."""
+    from naf_tpu.kernels.encoder_banded import (
+        encoder_stack_banded_rows,
+        encoder_stack_stats,
+    )
+    from naf_tpu.kernels.na2d_fused_q import naf_upsample_attention
+    from naf_tpu.ops.resize import resize_bilinear
+
+    hk, wk = lr_feats.shape[1], lr_feats.shape[2]
+    r_h = oh // hk
+    d_head = model.dim // model.heads_rope
+    if (cells_per_band * r_h * hi) % oh:
+        raise ValueError(
+            "attention band does not map to integer encoder rows; adjust "
+            "band_rows or the image size"
+        )
+    eb = cells_per_band * r_h * hi // oh  # encoder rows per band
+    if image.shape[1:3] != (hi, wi):
+        image = resize_bilinear(image, (hi, wi))
+
+    enc_p = params["image_encoder"]["encoder"]
+    sem_p = params["image_encoder"]["sem_encoder"]
+
+    @jax.jit
+    def prep_stats(params, image):
+        s_pix = encoder_stack_stats(
+            enc_p, image, 1, 1, model.img_layers, band_rows=eb,
+            interpret=interpret,
+        )
+        s_sem = encoder_stack_stats(
+            sem_p, image, 3, 3, model.img_layers, band_rows=eb,
+            interpret=interpret,
+        )
+        b = model.bind({"params": params})
+        sin_r, cos_r, sin_c, cos_c = b.image_encoder.rope.tables(oh, ow)
+        rows_tab = jnp.concatenate([cos_r, sin_r], axis=-1)
+        cols_tab = jnp.concatenate([cos_c, sin_c], axis=-1)
+        return s_pix, s_sem, rows_tab, cols_tab
+
+    s_pix, s_sem, rows_tab, cols_tab = prep_stats(params, image)
+
+    def enc_band(params, image, stats, r0):
+        s_pix, s_sem = stats
+        pix = encoder_stack_banded_rows(
+            enc_p, image, r0, eb, s_pix, 1, 1, model.img_layers,
+            interpret=interpret,
+        )
+        sem = encoder_stack_banded_rows(
+            sem_p, image, r0, eb, s_sem, 3, 3, model.img_layers,
+            interpret=interpret,
+        )
+        return jnp.concatenate([pix, sem], axis=-1)
+
+    # sweep 1: accumulate the pooled keys (row-linear, exact)
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def keys_contrib(params, image, stats, r0):
+        band = enc_band(params, image, stats, r0)
+        rope = model.bind({"params": params}).image_encoder.rope
+        return rope.pooled(
+            band, (oh, ow), (hk, wk), row0=r0, full_h=hi
+        )
+
+    keys = None
+    for r0 in range(0, hi, eb):
+        kb = keys_contrib(params, image, (s_pix, s_sem), r0)
+        kb = kb.astype(jnp.float32)  # exact band sum, cast once at the end
+        keys = kb if keys is None else keys + kb
+    keys = keys.astype(image.dtype)
+
+    # sweep 2: attention bands, each feeding only its own encoder rows
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
+    def band_step(out, params, image, stats, keys, feats, tabs, c0):
+        rows_tab, cols_tab = tabs
+        band = enc_band(params, image, stats, c0 * r_h * hi // oh)
+        return naf_upsample_attention(
+            band, keys, feats, rows_tab, cols_tab, d_head,
+            num_heads=model.heads_attn, kernel_size=model.kernel_size,
+            row_cell0=c0, band_cells=cells_per_band, out_acc=out,
+            enc_banded=True, interpret=interpret,
+        )
+
+    out = jnp.zeros(
+        (image.shape[0], oh, ow, lr_feats.shape[-1]), image.dtype
+    )
+    for c0 in range(0, hk, cells_per_band):
+        out = band_step(
+            out, params, image, (s_pix, s_sem), keys, lr_feats,
+            (rows_tab, cols_tab), c0,
+        )
     return out

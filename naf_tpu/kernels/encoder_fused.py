@@ -51,8 +51,8 @@ def _kernel(
     b_ref,  # (1, F) f32
     y_ref,  # (1, bh, bw, F) VMEM out
     ps_ref,  # (1, 1, 1, 2, F) f32 out — per-program [sum, sumsq] of y
-    z_ref,  # (bh+pad, bw+pad, C) VMEM scratch — activated input
-    acc_ref,  # (bh, bw, F) f32 VMEM scratch
+    z_ref,  # (kk, bh+pad, bw+pad, C) VMEM scratch — activated input, one
+    #         sublane-rolled copy per column tap (k=3; (1, bh, bw, C) for k=1)
     *,
     kernel_size: int,
     bh: int,
@@ -77,7 +77,7 @@ def _kernel(
         # no scratch round-trip: the activated value feeds the dot directly.
         # Operands flattened to 2-D: a rank-3 lhs with a minor contraction
         # makes Mosaic emit per-row mini-matmuls instead of one MXU pass.
-        acc_ref[...] = jax.lax.dot_general(
+        acc = jax.lax.dot_general(
             zf.astype(x_ref.dtype).reshape(bh * bw, -1),
             w_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -93,15 +93,24 @@ def _kernel(
         # single fully-unrolled chain) bound the number of accumulator-sized
         # f32 values the scheduler keeps live — _pick_tiles budgets for
         # kk + 1 of them.
-        z_ref[...] = zf.astype(x_ref.dtype)
+        #
+        # Column taps: the scratch holds one sublane-rolled copy of the
+        # activated tile per dx, written once, so every dot's lhs is a
+        # sublane-ALIGNED slice — Mosaic lowers an unaligned (dx = 1, 2)
+        # operand slice as per-row realignment shuffles on the critical
+        # path of each matmul (measured ~3 ms/layer at 2048^2).
+        wcols = zf.shape[1]
+        z_ref[0] = zf.astype(x_ref.dtype)
+        for dx in range(1, kk):
+            # roll left by dx: out[w] = in[w + dx]. Mosaic's rotate only
+            # handles 32-bit data, so roll the f32 value pre-cast.
+            z_ref[dx] = pltpu.roll(zf, wcols - dx, 1).astype(x_ref.dtype)
         acc0 = acc1 = None
         for dy in range(kk):
-            zrow = z_ref[dy : dy + bh]
             for dx in range(kk):
-                if diag == "notaps":
-                    dx = 0  # timing ablation: all column taps read aligned
+                src = 0 if diag == "notaps" else dx
                 part = jax.lax.dot_general(
-                    zrow[:, dx : dx + bw, :].reshape(bh * bw, -1),
+                    z_ref[src, dy : dy + bh, 0:bw, :].reshape(bh * bw, -1),
                     w_ref[dy * kk + dx],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -111,9 +120,11 @@ def _kernel(
                     acc0 = part if acc0 is None else acc0 + part
                 else:
                     acc1 = part if acc1 is None else acc1 + part
-        acc_ref[...] = (acc0 + acc1).reshape(bh, bw, f_out)
+        acc = (acc0 + acc1).reshape(bh, bw, f_out)
 
-    y = acc_ref[...] + b_ref[0]
+    # acc stays a value (no f32 scratch round-trip — a (bh, bw, F) f32
+    # write+read per program costs real VMEM bandwidth on the critical path)
+    y = acc + b_ref[0]
     yc = y.astype(y_ref.dtype)
     y_ref[0] = yc
 
@@ -142,8 +153,9 @@ def _pick_tiles(h: int, w: int, c: int, f: int, kk: int, itemsize: int):
             y_t = bh * bw * f * itemsize
             acc = bh * bw * f * 4
             live_parts = ((kk + 1) if kk == 3 else 1) * acc
+            z_t = kk * x_t if kk == 3 else 0  # per-column-tap rolled copies
             use = (
-                3 * x_t + 2 * y_t + acc + live_parts
+                3 * x_t + z_t + 2 * y_t + acc + live_parts
                 + kk * kk * c * f * itemsize
             )
             if use < 12 * 2**20 and (best is None or bh * bw > best[0]):
@@ -183,7 +195,19 @@ def gn_silu_conv_fused(
     bh, bw = tiles
     np_i, np_j = h // bh, wd // bw
 
-    if kk == 3:
+    if kk == 3 and _diag == "blocked":
+        # Timing-only ablation: regular Blocked specs, no halos (numerics
+        # wrong at tile edges) — isolates whether pl.Element overlapping
+        # blocks defeat the automatic cross-program DMA pipeline.
+        xin = jnp.pad(x, ((0, 0), (0, 2), (0, 8), (0, 0)))
+        mi = (h + 2) // (bh + 2)
+        mj = (wd + 8) // (bw + 8)
+        x_spec = pl.BlockSpec(
+            (1, bh + 2, bw + 8, c),
+            lambda bb, i, j: (bb, i % mi, j % mj, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif kk == 3:
         # Reflect-pad 1px; the right edge gets 6 extra columns so that
         # Element column blocks are 8-divisible (Mosaic's second-to-last
         # block dim rule). One pad call (one pass): the extra columns are
@@ -243,9 +267,9 @@ def gn_silu_conv_fused(
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                ((bh + 2, bw + 8) if kk == 3 else (bh, bw)) + (c,), x.dtype
+                ((kk, bh + 2, bw + 8) if kk == 3 else (1, bh, bw)) + (c,),
+                x.dtype,
             ),
-            pltpu.VMEM((bh, bw, f), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
@@ -288,6 +312,45 @@ def _channel_sums(x):
     return jnp.stack(
         [jnp.sum(xf, axis=(1, 2)), jnp.sum(xf * xf, axis=(1, 2))], axis=1
     )
+
+
+def _stem_conv_matmul(x, kernel, bias, kernel_size: int):
+    """Stem conv (3->F) as an im2col matmul — numerics-identical to
+    _reflect_conv_xla.
+
+    XLA's conv lowering runs the 3-input-channel stem at a small fraction of
+    the MXU bound (8.7 ms at 2048^2); gathering the 3*k^2 input taps into
+    lanes and contracting in ONE matmul runs at ~3 ms. The patches array is
+    small (k*k*3 channels) so the extra materialization is cheap.
+    Replaces: reference src/layers/convolutions.py:67-74 stem conv."""
+    kk = kernel_size
+    p = kk // 2
+    if p > 0:
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    b, hp, wp, c = x.shape
+    h, w = hp - 2 * p, wp - 2 * p
+    f = kernel.shape[-1]
+    if kk == 1:
+        patches = x
+    else:
+        patches = jnp.concatenate(
+            [
+                x[:, dy : dy + h, dx : dx + w, :]
+                for dy in range(kk)
+                for dx in range(kk)
+            ],
+            axis=-1,
+        )  # (b, h, w, kk*kk*c) — flat tap index (dy*kk + dx)*c + ci
+    y = jax.lax.dot_general(
+        patches.reshape(b * h * w, kk * kk * c),
+        kernel.reshape(kk * kk * c, f),  # HWIO flattens in the same order
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(b, h, w, f)
+    # round the accumulator to the io dtype BEFORE the bias add, exactly as
+    # the conv lowering does
+    return y.astype(x.dtype) + bias
 
 
 def _reflect_conv_xla(x, kernel, bias, kernel_size: int):
@@ -351,7 +414,7 @@ def encoder_stack_fused(
 def _stack_fwd_impl(params, x, hidden, kernel_size, ks_res, num_layers,
                     num_groups, eps, interpret):
     b, h, wd, _ = x.shape
-    y = _reflect_conv_xla(
+    y = _stem_conv_matmul(
         x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"],
         kernel_size,
     )

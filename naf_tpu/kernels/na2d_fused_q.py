@@ -182,6 +182,7 @@ def _kernel(
     row_taps: tuple,        # per out row: ((in_row, weight), ...) (static)
     rope_d_head: int = 64,  # RoPE head width (for rotate-half rolls)
     cell0: int = 0,         # first (global) cell row of this band
+    w_tiles: int = 1,       # merged column tiles per program
     diag: str = "",         # timing-only ablations ("noexp"/"nomask"/"norope")
 ):
     kk = kernel_size
@@ -189,9 +190,7 @@ def _kernel(
     kb_h = bc_h + kk - 1
     kb_w = bc_w + kk - 1
     ci0 = cell0 + pl.program_id(1) * bc_h
-    cj0 = pl.program_id(2) * bc_w
     row0 = jnp.clip(ci0 - nh, 0, hk - kb_h)
-    col0 = jnp.clip(cj0 - nh, 0, wk - kb_w)
 
     n = num_heads
     g = group
@@ -209,25 +208,7 @@ def _kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    # ---- pool-up into the xup scratch (skipped when hi == hq) ----
-    if not pool_identity:
-        ih = enc_ref.shape[2]
-        pcol = col_pool_ref[...].astype(enc_ref.dtype)  # (bw, iwe)
-        for r in range(ih):
-            xc_ref[r] = jax.lax.dot_general(
-                pcol, enc_ref[0, 0, r],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-        for o in range(bh):
-            taps = row_taps[o]
-            acc = taps[0][1] * xc_ref[taps[0][0]]
-            for i, wgt in taps[1:]:
-                acc = acc + wgt * xc_ref[i]
-            xup_ref[o] = acc.astype(dtype)
-
-    # ---- window mask pieces shared across chunks ----
+    # ---- pieces shared across chunks and merged tiles ----
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, nc_pad), 1)
     t_idx = lane // kb_w
     s_idx = lane - t_idx * kb_w
@@ -235,111 +216,160 @@ def _kernel(
     rows_c = jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0)
     i_loc = rows_c // bw
     j_loc = rows_c - i_loc * bw
-    cell_w = cj0 + j_loc // r_w
-    ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
-    ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)  # (cq, nc_pad)
 
-    cos_c3 = cols_ref[:, :c_dim][None]  # (1, bw, C)
-    sin_c3 = cols_ref[:, c_dim:][None]
-
-    # rotate-half as two lane rolls + select: rot[c] = -x[c + dh/2] for the
-    # first half of each rope head, x[c - dh/2] for the second (both stay
-    # within the head, so whole-row rolls are exact). The HBM-level code
-    # (nn/rope.py) uses a signed-permutation matmul because channel slicing
-    # materializes tile-padded minor-dim temporaries THERE; in VMEM the
-    # rolls are vreg shuffles and the matmul's 2*HW*C^2 FLOPs are pure waste.
+    # Identity-pool only: rotate-half as two lane rolls + select:
+    # rot[c] = -x[c + dh/2] for the first half of each rope head,
+    # x[c - dh/2] for the second (both stay within the head, so whole-row
+    # rolls are exact). The HBM-level code (nn/rope.py) uses a signed-
+    # permutation matmul because channel slicing materializes tile-padded
+    # minor-dim temporaries THERE; in VMEM the rolls are vreg shuffles.
+    # In the POOL-UP case the rolls are gone entirely: rotate-half is a
+    # signed channel permutation, so it commutes with the (per-channel,
+    # linear) pool-up — the caller ships enc with a pre-rotated copy
+    # concatenated on channels and both get pooled together (exact).
     dh2 = rope_d_head // 2
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c_dim), 2)
     first_half = (lane_c % rope_d_head) < dh2
 
     n_chunks = bh // chunk_rows
-    for ck in range(n_chunks):
-        o0 = ck * chunk_rows
-        if pool_identity:
-            x3 = enc_ref[0, pl.ds(o0, chunk_rows)]  # (chunk, bw, C)
-        else:
-            x3 = xup_ref[pl.ds(o0, chunk_rows)]
+    for tt in range(w_tiles):
+        cj0 = (pl.program_id(2) * w_tiles + tt) * bc_w
+        col0 = jnp.clip(cj0 - nh, 0, wk - kb_w)
+        cell_w = cj0 + j_loc // r_w
+        ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
+        ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)  # (cq, nc_pad)
 
-        # ---- RoPE ----
-        # Mosaic's tpu.dynamic_rotate only handles 32-bit lanes; roll the
-        # f32 view (the rot term is consumed in f32 mul-adds anyway).
-        if diag == "norope":
-            q3 = x3
-        else:
-            x3f = x3.astype(jnp.float32)
-            r1 = pltpu.roll(x3f, c_dim - dh2, 2)  # x[c + dh/2]
-            r2 = pltpu.roll(x3f, dh2, 2)          # x[c - dh/2]
-            rot = jnp.where(first_half, -r1, r2).astype(x3.dtype)
-            cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None, :]
-            sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None, :]
-            q3 = x3 * (cos_r3 * cos_c3) + rot * (sin_r3 * sin_c3)
-        q2 = q3.reshape(cq, c_dim)
+        cols_t = cols_ref[pl.ds(tt * bw, bw)]
+        cos_c3 = cols_t[:, :c_dim][None]  # (1, bw, C)
+        sin_c3 = cols_t[:, c_dim:][None]
+        k2_t = k2_ref[0, 0, tt]  # (128, n*gd)
+        v_t = v_ref[0, 0, tt]    # (128, n*dv)
 
-        # ---- mask for this chunk ----
-        # When the chunk spans exactly one LR cell row (chunk_rows == r_h at
-        # high ratios), every query shares the same window row: ws_h is a
-        # per-chunk scalar and ok_h a (1, nc) row vector instead of (cq, nc).
-        if chunk_rows <= r_h:
-            cell_h0 = ci0 + (o0 // r_h)
-            ws_h = jnp.clip(cell_h0 - nh, 0, hk - kk) - row0
-            ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)  # (1, nc_pad)
-        else:
-            cell_h = ci0 + (o0 + i_loc) // r_h
-            ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
-            ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
-        bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
-        if diag == "nomask":
-            bias = jnp.zeros_like(bias)
-
-        # ---- per-head NA (all QK issued before softmax/AV for overlap) ----
-        logits = []
-        for h in range(n):
-            p = h // g
-            qg = q2[:, p * gd : (p + 1) * gd]
-            km = k2_ref[0, 0, 0][:, h * gd : (h + 1) * gd]  # (128, gd)
-            logits.append(
-                jax.lax.dot_general(
-                    qg, km,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+        # ---- pool-up into the xup scratch (skipped when hi == hq) ----
+        # The column RoPE tables are folded into the column-pool epilogue:
+        # xc channel layout is (x | rot) and cols_t is (cos_c | sin_c), so
+        # ONE (ih, bw, 2C) multiply replaces the per-chunk (bh-row)
+        # cos_r*cos_c / sin_r*sin_c products — the chunk-level RoPE
+        # collapses to x3c * cos_r + x3s * sin_r.
+        if not pool_identity and diag != "nopool":
+            ih = enc_ref.shape[2]
+            pcol = col_pool_ref[...].astype(enc_ref.dtype)  # (bw, iwe)
+            ctab = cols_t.astype(jnp.float32)  # (bw, 2C) = cos_c | sin_c
+            for r in range(ih):
+                xc_ref[r] = jax.lax.dot_general(
+                    pcol, enc_ref[0, tt, r],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
-                ) + bias
-            )
-        outs = []
-        for h in range(n):
-            vm = v_ref[0, 0, 0][:, h * dv : (h + 1) * dv]  # (128, dv)
-            if dtype == jnp.float32:
-                m = jnp.max(logits[h], axis=-1, keepdims=True)
-                e = jnp.exp(logits[h] - m)
-                pn = e / jnp.sum(e, axis=-1, keepdims=True)
-                outs.append(
+                ) * ctab
+            for o in range(bh):
+                taps = row_taps[o]
+                acc = taps[0][1] * xc_ref[taps[0][0]]
+                for i, wgt in taps[1:]:
+                    acc = acc + wgt * xc_ref[i]
+                xup_ref[o] = acc.astype(dtype)
+
+        for ck in range(n_chunks):
+            o0 = ck * chunk_rows
+            if pool_identity:
+                x3 = enc_ref[0, pl.ds(o0, chunk_rows), pl.ds(tt * bw, bw)]
+                rot = None
+            else:
+                x3full = xup_ref[pl.ds(o0, chunk_rows)]  # (chunk, bw, 2C)
+                x3 = x3full[:, :, :c_dim]
+                rot = x3full[:, :, c_dim:]  # pooled pre-rotated copy
+
+            # ---- RoPE ----
+            if diag == "norope":
+                q3 = x3
+            else:
+                cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None, :]
+                sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None, :]
+                if rot is None:
+                    # identity pool: rotate-half via f32 lane rolls
+                    # (Mosaic's rotate only handles 32-bit lanes)
+                    x3f = x3.astype(jnp.float32)
+                    r1 = pltpu.roll(x3f, c_dim - dh2, 2)  # x[c + dh/2]
+                    r2 = pltpu.roll(x3f, dh2, 2)          # x[c - dh/2]
+                    rot = jnp.where(first_half, -r1, r2).astype(x3.dtype)
+                    q3 = x3 * (cos_r3 * cos_c3) + rot * (sin_r3 * sin_c3)
+                else:
+                    # pool case: col tables pre-folded into x3/rot
+                    q3 = x3 * cos_r3 + rot * sin_r3
+            q2 = q3.reshape(cq, c_dim)
+
+            # ---- mask for this chunk ----
+            # When the chunk spans exactly one LR cell row (chunk_rows ==
+            # r_h at high ratios), every query shares the same window row:
+            # ws_h is a per-chunk scalar and ok_h a (1, nc) row vector.
+            if chunk_rows <= r_h:
+                cell_h0 = ci0 + (o0 // r_h)
+                ws_h = jnp.clip(cell_h0 - nh, 0, hk - kk) - row0
+                ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)  # (1, nc_pad)
+            else:
+                cell_h = ci0 + (o0 + i_loc) // r_h
+                ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
+                ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
+            bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
+            if diag == "nomask":
+                bias = jnp.zeros_like(bias)
+
+            # ---- per-head NA (all QK issued before softmax/AV) ----
+            logits = []
+            for h in range(n):
+                p = h // g
+                qg = q2[:, p * gd : (p + 1) * gd]
+                km = k2_t[:, h * gd : (h + 1) * gd]  # (128, gd)
+                if diag == "noqk":  # timing ablation: skip the QK matmuls
+                    logits.append(qg[:, :1] + bias)
+                    continue
+                logits.append(
                     jax.lax.dot_general(
-                        pn.astype(vm.dtype), vm,
+                        qg, km,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    ) + bias
+                )
+            outs = []
+            for h in range(n):
+                vm = v_t[:, h * dv : (h + 1) * dv]  # (128, dv)
+                if dtype == jnp.float32:
+                    m = jnp.max(logits[h], axis=-1, keepdims=True)
+                    e = jnp.exp(logits[h] - m)
+                    pn = e / jnp.sum(e, axis=-1, keepdims=True)
+                    outs.append(
+                        jax.lax.dot_general(
+                            pn.astype(vm.dtype), vm,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                    )
+                else:
+                    # bf16 fast path: logits are bounded (RoPE'd encodings,
+                    # scale folded), so the max-subtraction pass is
+                    # unnecessary (exp never overflows; masked -1e30
+                    # underflows to exactly 0), and normalization is
+                    # deferred past the AV matmul where the operand is dv
+                    # wide instead of nc_pad.
+                    e = logits[h] if diag == "noexp" else jnp.exp(logits[h])
+                    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+                    if diag == "noav":  # timing ablation: skip AV matmuls
+                        outs.append((e[:, :dv] * r).astype(o_ref.dtype))
+                        continue
+                    av = jax.lax.dot_general(
+                        e.astype(vm.dtype), vm,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=prec,
                     )
-                )
-            else:
-                # bf16 fast path: logits are bounded (RoPE'd encodings,
-                # scale folded), so the max-subtraction pass is unnecessary
-                # (exp never overflows; masked -1e30 underflows to exactly
-                # 0), and normalization is deferred past the AV matmul where
-                # the operand is dv wide instead of nc_pad.
-                e = logits[h] if diag == "noexp" else jnp.exp(logits[h])
-                r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-                av = jax.lax.dot_general(
-                    e.astype(vm.dtype), vm,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
-                # cast before the concat: halves the live out-buffer bytes
-                outs.append((av * r).astype(o_ref.dtype))
-        out = jnp.concatenate(outs, axis=-1) if n > 1 else outs[0]
-        o_ref[0, pl.ds(o0, chunk_rows)] = out.reshape(
-            chunk_rows, bw, n * dv
-        ).astype(o_ref.dtype)
+                    # cast before the concat: halves live out-buffer bytes
+                    outs.append((av * r).astype(o_ref.dtype))
+            out = jnp.concatenate(outs, axis=-1) if n > 1 else outs[0]
+            o_ref[0, pl.ds(o0, chunk_rows), pl.ds(tt * bw, bw)] = out.reshape(
+                chunk_rows, bw, n * dv
+            ).astype(o_ref.dtype)
 
 
 def _row_taps(hi: int, hq: int, bh: int, ih: int):
@@ -353,17 +383,49 @@ def _row_taps(hi: int, hq: int, bh: int, ih: int):
     return tuple(taps)
 
 
+def _pick_w_tiles(n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
+                  itemsize):
+    """Largest column-tile merge factor that fits the VMEM budget.
+
+    Merging tt adjacent column tiles into one program cuts the program count
+    tt-fold (per-program fixed cost dominated ~20% of the 448^2->2048^2
+    kernel time at 2048 programs) and doubles the K/V DMA granularity. The
+    budget models Pallas's double-buffered in/out blocks plus the scratch
+    and the f32 logits/AV values live during the per-head loop."""
+    live_f32 = (n + 2) * _CHUNK_Q_BUDGET * 128 * 4
+    for wt in (4, 2, 1):
+        if n_cw % wt:
+            continue
+        out_b = bh * wt * bw * n * dv * itemsize
+        enc_b = (
+            wt * ih * iwe * 2 * c * itemsize  # enc + rotated copy
+            if not pool_identity
+            else bh * wt * bw * c * itemsize
+        )
+        kv_b = wt * 128 * (n * gd + n * dv) * itemsize
+        tabs_b = (bh + wt * bw) * 2 * c * itemsize
+        scratch = (
+            0
+            if pool_identity
+            else (ih * bw * 2 * c * 4 + bh * bw * 2 * c * itemsize)
+        )
+        use = 2 * (out_b + enc_b + kv_b + tabs_b) + scratch + live_f32
+        if use < 13 * 2**20:
+            return wt
+    return 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rope_d_head", "num_heads", "kernel_size", "scale",
                      "interpret", "geometry", "row_cell0", "band_cells",
-                     "_diag"),
+                     "w_tiles", "enc_banded", "_diag"),
 )
 def naf_upsample_attention(
     enc, keys, values, rows_tab, cols_tab, rope_d_head=64, *,
     num_heads: int, kernel_size: int, scale=None, interpret: bool = False,
     geometry=None, row_cell0: int = 0, band_cells=None, out_acc=None,
-    _diag: str = "",
+    w_tiles=None, enc_banded: bool = False, _diag: str = "",
 ):
     """Fused pool-up + RoPE + cross-scale NA.
 
@@ -382,6 +444,11 @@ def naf_upsample_attention(
         band's rows are written in place and every other row keeps its
         prior contents. This is what makes 4096^2 fit: the 12.9 GB output
         plus a separate band buffer would exceed HBM.
+      enc_banded: `enc` holds ONLY the band's encoder rows (exactly the
+        input rows feeding output cell rows [row_cell0, row_cell0 +
+        band_cells)) instead of the full grid — the full-resolution encoder
+        output never needs to exist (banded two-pass encoder,
+        naf_tpu/kernels/encoder_banded.py). Requires band_cells.
     Returns: (B, H, W, Cv) — or, without out_acc, the banded
       (B, band_cells * r_h, W, Cv) slab.
     """
@@ -395,8 +462,19 @@ def naf_upsample_attention(
     dv = cv // n
     if scale is None:
         scale = d ** -0.5
-    geom = geometry or pick_geometry(hq, wq, hi, wi, hk, wk, kk, n, d, dv,
-                                     enc.dtype.itemsize)
+    hi_full = hi
+    if enc_banded:
+        if band_cells is None:
+            raise ValueError("enc_banded requires band_cells")
+        out_rows = band_cells * (hq // hk)
+        if (hi * hq) % out_rows:
+            raise ValueError(
+                f"banded enc rows {hi} do not divide evenly into the "
+                f"band's {out_rows} output rows at ratio {hq}/{hi}"
+            )
+        hi_full = hi * hq // out_rows
+    geom = geometry or pick_geometry(hq, wq, hi_full, wi, hk, wk, kk, n, d,
+                                     dv, enc.dtype.itemsize)
     if geom is None:
         raise ValueError(
             "shapes not supported by fused-q kernel; use the modular path"
@@ -427,24 +505,51 @@ def naf_upsample_attention(
         g, bc_h, bc_w, kk, row_cell0, band_cells,
     )
 
-    pool_identity = (hi, wi) == (hq, wq)
+    pool_identity = (hi_full, wi) == (hq, wq)
     if pool_identity:
         ih, iw, iwe = bh, bw, bw
         col_pool = None
         row_taps = None
+    else:
+        ih = (bh * hi_full) // hq
+        iw = (bw * wi) // wq
+        iwe = _ceil8(iw)
+        col_pool = np.pad(_pool_matrix(wi, wq)[:bw, :iw], ((0, 0), (0, iwe - iw)))
+        row_taps = _row_taps(hi_full, hq, bh, ih)
+        # rotate-half commutes with the per-channel pool-up: ship a
+        # pre-rotated copy on channels and pool both (replaces the
+        # in-kernel f32 lane rolls; exact — rmat is a signed permutation)
+        from naf_tpu.nn.rope import _rotate_half_matrix
+
+        rmat = jnp.asarray(
+            _rotate_half_matrix(c // rope_d_head, rope_d_head), dtype
+        )
+        enc = jnp.concatenate(
+            [enc, jnp.einsum("bhwc,cd->bhwd", enc, rmat)], axis=-1
+        )  # (b, hi, wi, 2C)
+    if enc_banded and hi != (band_cells // bc_h) * ih:
+        raise ValueError(
+            f"banded enc must hold exactly the band's input rows: expected "
+            f"{(band_cells // bc_h) * ih}, got {hi}"
+        )
+
+    if w_tiles is None:
+        w_tiles = _pick_w_tiles(
+            n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
+            enc.dtype.itemsize,
+        )
+    wt = w_tiles
+
+    enc_off = 0 if enc_banded else blk_off
+    if pool_identity:
         enc_spec = pl.BlockSpec(
-            (1, bh, bw, c), lambda bb, ii, jj: (bb, ii + blk_off, jj, 0),
+            (1, bh, wt * bw, c), lambda bb, ii, jj: (bb, ii + enc_off, jj, 0),
             memory_space=pltpu.VMEM,
         )
     else:
-        ih = (bh * hi) // hq
-        iw = (bw * wi) // wq
-        iwe = _ceil8(iw)
         need_w = (n_cw - 1) * iw + iwe
         if need_w > wi:
             enc = jnp.pad(enc, ((0, 0), (0, 0), (0, need_w - wi), (0, 0)))
-        col_pool = np.pad(_pool_matrix(wi, wq)[:bw, :iw], ((0, 0), (0, iwe - iw)))
-        row_taps = _row_taps(hi, hq, bh, ih)
         # Mosaic requires sublane-tile-aligned block offsets, and iw is
         # rarely 8-divisible; pre-slice the (cheap, low-res) encoder output
         # into a per-tile-column layout so every block index is regular.
@@ -453,8 +558,8 @@ def naf_upsample_attention(
             axis=1,
         )  # (b, n_cw, hi, iwe, C)
         enc_spec = pl.BlockSpec(
-            (1, 1, ih, iwe, c),
-            lambda bb, ii, jj: (bb, jj, ii + blk_off, 0, 0),
+            (1, wt, ih, iwe, 2 * c),
+            lambda bb, ii, jj: (bb, jj, ii + enc_off, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -471,18 +576,18 @@ def naf_upsample_attention(
         memory_space=pltpu.VMEM,
     )
     cols_spec = pl.BlockSpec(
-        (bw, 2 * c), lambda bb, ii, jj: (jj, 0), memory_space=pltpu.VMEM
+        (wt * bw, 2 * c), lambda bb, ii, jj: (jj, 0), memory_space=pltpu.VMEM
     )
     tile_spec = lambda ch: pl.BlockSpec(
-        (1, 1, 1, 128, ch), lambda bb, ii, jj: (bb, ii, jj, 0, 0),
+        (1, 1, wt, 128, ch), lambda bb, ii, jj: (bb, ii, jj, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     scratch = []
     if not pool_identity:
         scratch = [
-            pltpu.VMEM((ih, bw, c), jnp.float32),
-            pltpu.VMEM((bh, bw, c), dtype),
+            pltpu.VMEM((ih, bw, 2 * c), jnp.float32),
+            pltpu.VMEM((bh, bw, 2 * c), dtype),
         ]
 
     def kern(*refs):
@@ -500,7 +605,7 @@ def naf_upsample_attention(
             kernel_size=kk, num_heads=n, group=g, r_h=r_h, r_w=r_w,
             bc_h=bc_h, bc_w=bc_w, hk=hk, wk=wk, chunk_rows=chunk_rows,
             pool_identity=pool_identity, row_taps=row_taps,
-            rope_d_head=rope_d_head, cell0=row_cell0, diag=_diag,
+            rope_d_head=rope_d_head, cell0=row_cell0, w_tiles=wt, diag=_diag,
         )
 
     in_specs = [
@@ -527,20 +632,21 @@ def naf_upsample_attention(
         inputs.append(out_acc)
         aliases = {n_live_in: 0}
         out_spec = pl.BlockSpec(
-            (1, bh, bw, n * dv), lambda bb, ii, jj: (bb, ii + blk_off, jj, 0),
+            (1, bh, wt * bw, n * dv),
+            lambda bb, ii, jj: (bb, ii + blk_off, jj, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(out_acc.shape, dtype)
     else:
         out_spec = pl.BlockSpec(
-            (1, bh, bw, n * dv), lambda bb, ii, jj: (bb, ii, jj, 0),
+            (1, bh, wt * bw, n * dv), lambda bb, ii, jj: (bb, ii, jj, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((b, out_h, wq, n * dv), dtype)
 
     out = pl.pallas_call(
         kern,
-        grid=(b, n_ch, n_cw),
+        grid=(b, n_ch, n_cw // wt),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,

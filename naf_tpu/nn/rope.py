@@ -188,6 +188,8 @@ class RoPE(nn.Module):
         x: jnp.ndarray,
         up_hw: tuple[int, int],
         down_hw: tuple[int, int],
+        row0: int = 0,
+        full_h: Optional[int] = None,
     ) -> jnp.ndarray:
         """``adaptive_pool(rope(adaptive_pool(x, up_hw)), down_hw)`` without
         materializing the (potentially huge) up_hw grid.
@@ -207,10 +209,19 @@ class RoPE(nn.Module):
         keys-pool passes with ~0.5 ms of small einsums.
 
         Inference-only (no coordinate augmentations).
+
+        row0/full_h support banded streaming: x holds rows
+        [row0, row0 + hi) of a full_h-row encoder grid, and the return is
+        that band's CONTRIBUTION to the keys (the row pool is linear, so
+        summing the per-band results over a partition of the rows
+        reproduces pooled(full_x) exactly). Used by the banded-encoder
+        streaming path (naf_tpu.api.naf_streamed) where the full-resolution
+        encoder output never exists.
         """
         from naf_tpu.ops.pool import _pool_matrix
 
         b, hi, wi, c = x.shape
+        fh = full_h or hi
         oh, ow = int(up_hw[0]), int(up_hw[1])
         kh, kw = int(down_hw[0]), int(down_hw[1])
         ch, cw = _axis_coords(oh, ow, self.normalize_coords)
@@ -249,7 +260,7 @@ class RoPE(nn.Module):
             sin_map = np.tile(sin_map, self.num_heads)
             return a_uniq[jnp.asarray(cos_map)], a_uniq[jnp.asarray(sin_map)]
 
-        ar = axis_mats(kh, oh, hi, ch)
+        ar = axis_mats(kh, oh, fh, ch)[:, :, row0 : row0 + hi]
         ac = axis_mats(kw, ow, wi, cw)
         ar_cos, ar_sin = expand(ar, True)
         ac_cos, ac_sin = expand(ac, False)

@@ -75,7 +75,7 @@ def _perturbed_args(args, c, perturb):
     return treedef.unflatten(leaves)
 
 
-def _make_loop(fn, n_iters, perturb):
+def _make_loop(fn, n_iters, perturb, chain="full"):
     @jax.jit
     def loop(*args):
         def body(c, _):
@@ -88,6 +88,9 @@ def _make_loop(fn, n_iters, perturb):
             # functions are measured without one output write. Carrying the
             # full output instead would force the store but doubles its HBM
             # residency (OOM for 2K^2 outputs).
+            # (A strided-checksum variant was tried for pallas-terminal fns
+            # to cut the chain's read cost; measured SLOWER than the full
+            # contiguous reduce — strided row reads defeat DMA streaming.)
             leaf = jax.tree.leaves(out)[0]
             return jnp.sum(leaf, dtype=jnp.float32), ()
 
@@ -98,7 +101,8 @@ def _make_loop(fn, n_iters, perturb):
 
 
 def device_time_ms(
-    fn, *args, iters: int = 10, repeats: int = 3, perturb: str = "all"
+    fn, *args, iters: int = 10, repeats: int = 3, perturb: str = "all",
+    chain: str = "full",
 ) -> float:
     """Median per-call device time of `fn(*args)` in milliseconds.
 
@@ -106,9 +110,10 @@ def device_time_ms(
     perturb: "all" (default; correct for end-to-end numbers) or "smallest"
     (cheaper for huge-operand kernels; hoists work not downstream of the
     smallest float leaf — see module docstring).
+    chain: "full" (the strided variant measured slower; kept for API compat).
     """
-    loop_1 = _make_loop(fn, 1, perturb)
-    loop_n = _make_loop(fn, iters + 1, perturb)
+    loop_1 = _make_loop(fn, 1, perturb, chain)
+    loop_n = _make_loop(fn, iters + 1, perturb, chain)
     float(loop_1(*args))  # compile
     float(loop_n(*args))  # compile
 
