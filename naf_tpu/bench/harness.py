@@ -111,6 +111,11 @@ def benchmark_model(
         "ratio": ratio, "lr_size": lr_size,
         "params": _count_params(wrapper.params),
         "dtype": jnp.dtype(dtype).name,
+        # *_mem_mb semantics: analytical XLA memory_analysis (temp + output
+        # + args of the compiled program), NOT a runtime device measurement
+        # like the reference's torch.cuda.max_memory_allocated — the axon
+        # tunnel exposes no live allocator counters.
+        "mem_model": "xla_memory_analysis",
     }
     if name == "AnyUp":
         # no hub checkpoint reachable in this env (models/anyup.py:79-91)

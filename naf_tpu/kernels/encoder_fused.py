@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -62,7 +63,9 @@ def _kernel(
 ):
     kk = kernel_size
 
-    zf = x_ref[0].astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+    # 4-D block for k=1 / Element k=3; 6-D for the pre-sliced halo layout
+    xt = x_ref[0] if x_ref.ndim == 4 else x_ref[0, 0, :, 0]
+    zf = xt.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
     if activation:
         zf = zf * jax.nn.sigmoid(zf)
 
@@ -174,17 +177,25 @@ def fused_encoder_applicable(x_shape, kernel_size: int, hidden: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_size", "activation", "interpret", "_diag"),
+    static_argnames=("kernel_size", "activation", "interpret", "out_total_f",
+                     "out_ch_block", "_diag"),
 )
 def gn_silu_conv_fused(
     x, scale, shift, w, b, kernel_size: int, activation: bool = True,
-    interpret: bool = False, _diag: str = "",
+    interpret: bool = False, out_total_f=None, out_ch_block: int = 0,
+    out_acc=None, _diag: str = "",
 ):
     """One fused encoder layer. x (B,H,W,C) -> (y (B,H,W,F), psums (B,2,F)).
 
     y = conv(silu(x*scale + shift)) with exact reflect padding; psums are
     f32 [sum, sum-of-squares] of y over (H, W), for the next GroupNorm.
     scale/shift broadcast from (C,) or are per-sample (B, C).
+
+    Packed output (inference): out_total_f widens the output buffer to
+    (B, H, W, out_total_f) with this layer's F channels written at channel
+    block out_ch_block; out_acc (same shape) is ALIASED in so two stacks'
+    final layers share one buffer — the (H, W, 2F) pix|sem concatenation
+    pass (2 GB of pure copy traffic at 2048^2) never happens.
     """
     bsz, h, wd, c = x.shape
     kk = kernel_size
@@ -205,6 +216,30 @@ def gn_silu_conv_fused(
         x_spec = pl.BlockSpec(
             (1, bh + 2, bw + 8, c),
             lambda bb, i, j: (bb, i % mi, j % mj, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif kk == 3 and _diag == "presliced":
+        # REJECTED experiment (kept for the record): pre-slicing the padded
+        # input into non-overlapping halo tiles via one flat gather makes
+        # every block a regular Blocked spec — but the (256 B)-row gather
+        # measured 81 ms/layer at 2048^2 vs 22.8 for Element halos; XLA's
+        # gather emitter cannot stream c-granular rows. Element blocks stay
+        # the default.
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)), mode="reflect")
+        np_i_, np_j_ = h // bh, wd // bw
+        row_id = (
+            np.arange(np_i_)[:, None] * bh + np.arange(bh + 2)[None, :]
+        ).reshape(-1)  # (np_i * (bh+2),)
+        col_id = (
+            np.arange(np_j_)[:, None] * bw + np.arange(bw + 8)[None, :]
+        ).reshape(-1)  # (np_j * (bw+8),)
+        flat = (row_id[:, None] * (wd + 8) + col_id[None, :]).reshape(-1)
+        xin = jnp.take(
+            xp.reshape(bsz, (h + 2) * (wd + 8), c), jnp.asarray(flat), axis=1
+        ).reshape(bsz, np_i_, bh + 2, np_j_, bw + 8, c)
+        x_spec = pl.BlockSpec(
+            (1, 1, bh + 2, 1, bw + 8, c),
+            lambda bb, i, j: (bb, i, 0, j, 0, 0),
             memory_space=pltpu.VMEM,
         )
     elif kk == 3:
@@ -242,6 +277,14 @@ def gn_silu_conv_fused(
         functools.partial(
             _kernel, kernel_size=kk, bh=bh, bw=bw, activation=activation,
             diag=_diag,
+        )
+        if out_acc is None
+        else (
+            lambda x_r, s_r, sh_r, w_r, b_r, _acc_r, y_r, ps_r, z_r: _kernel(
+                x_r, s_r, sh_r, w_r, b_r, y_r, ps_r, z_r,
+                kernel_size=kk, bh=bh, bw=bw, activation=activation,
+                diag=_diag,
+            )
         ),
         grid=(bsz, np_i, np_j),
         in_specs=[
@@ -250,10 +293,12 @@ def gn_silu_conv_fused(
             per_b(c),
             small((kk * kk, c, f)),
             small((1, f)),
-        ],
+        ]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if out_acc is not None else []),
         out_specs=[
             pl.BlockSpec(
-                (1, bh, bw, f), lambda bb, i, j: (bb, i, j, 0),
+                (1, bh, bw, f),
+                lambda bb, i, j: (bb, i, j, out_ch_block),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -262,7 +307,7 @@ def gn_silu_conv_fused(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, h, wd, f), x.dtype),
+            jax.ShapeDtypeStruct((bsz, h, wd, out_total_f or f), x.dtype),
             jax.ShapeDtypeStruct((bsz, np_i, np_j, 2, f), jnp.float32),
         ],
         scratch_shapes=[
@@ -271,16 +316,22 @@ def gn_silu_conv_fused(
                 x.dtype,
             ),
         ],
+        input_output_aliases={5: 0} if out_acc is not None else {},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(
-        xin,
-        jnp.broadcast_to(scale, (bsz, c)).astype(jnp.float32),
-        jnp.broadcast_to(shift, (bsz, c)).astype(jnp.float32),
-        w.reshape(kk * kk, c, f),
-        b.reshape(1, f).astype(jnp.float32),
+        *(
+            [
+                xin,
+                jnp.broadcast_to(scale, (bsz, c)).astype(jnp.float32),
+                jnp.broadcast_to(shift, (bsz, c)).astype(jnp.float32),
+                w.reshape(kk * kk, c, f),
+                b.reshape(1, f).astype(jnp.float32),
+            ]
+            + ([out_acc] if out_acc is not None else [])
+        )
     )
     return y, jnp.sum(ps, axis=(1, 2))
 
@@ -433,6 +484,100 @@ def _stack_fwd_impl(params, x, hidden, kernel_size, ks_res, num_layers,
                 kernel_size=ks_res, interpret=interpret,
             )
     return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def encoder_stack_fused_packed(
+    params_pix,
+    params_sem,
+    x,
+    hidden: int,
+    num_layers: int = 2,
+    num_groups: int = 8,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Dual-stack encoder with a packed output.
+
+    Runs the pixel (k=1) and semantic (k=3) stacks and has each stack's
+    FINAL fused layer write its half of one (B, H, W, 2*hidden) buffer
+    (channel-block indexed output + input_output_aliases) — the pix|sem
+    `jnp.concatenate` of ImageEncoder.encode (reference src/model/naf.py:34:
+    torch.cat of the two encoder outputs), 2 GB of pure copy traffic at
+    2048^2, never happens. Numerics identical to
+    concat(encoder_stack_fused(pix), encoder_stack_fused(sem)).
+    Differentiable: the custom VJP differentiates that concat twin, whose
+    per-stack backward is encoder_stack_fused's own XLA-twin VJP."""
+    return _packed_fwd_impl(
+        params_pix, params_sem, x, hidden, num_layers, num_groups, eps,
+        interpret,
+    )
+
+
+def _packed_fwd_impl(params_pix, params_sem, x, hidden, num_layers,
+                     num_groups, eps, interpret):
+    hw = x.shape[1] * x.shape[2]
+    out = None
+    for idx, (prm, ks) in enumerate(((params_pix, 1), (params_sem, 3))):
+        y = _stem_conv_matmul(
+            x, prm["stem"]["conv"]["kernel"], prm["stem"]["conv"]["bias"], ks
+        )
+        ps = _channel_sums(y)
+        n_lay = num_layers * 2
+        li = 0
+        for i in range(num_layers):
+            blk = prm[f"block{i}"]
+            for norm_name, conv_name in (("norm1", "conv1"), ("norm2", "conv2")):
+                scale, shift = _gn_affine(
+                    ps, blk[norm_name]["scale"], blk[norm_name]["bias"],
+                    hw, num_groups, eps,
+                )
+                last = li == n_lay - 1
+                y, ps = gn_silu_conv_fused(
+                    y, scale, shift,
+                    blk[conv_name]["conv"]["kernel"],
+                    blk[conv_name]["conv"]["bias"],
+                    kernel_size=ks, interpret=interpret,
+                    out_total_f=2 * hidden if last else None,
+                    out_ch_block=idx if last else 0,
+                    out_acc=out if (last and idx == 1) else None,
+                )
+                li += 1
+        if idx == 0:
+            out = y  # packed buffer, pix half written; sem half garbage
+    # y is the SEM stack's final output: the complete packed buffer (its
+    # out_acc aliased the pix buffer, so both halves are live in y)
+    return y
+
+
+def _packed_vjp_fwd(params_pix, params_sem, x, hidden, num_layers,
+                    num_groups, eps, interpret):
+    out = _packed_fwd_impl(
+        params_pix, params_sem, x, hidden, num_layers, num_groups, eps,
+        interpret,
+    )
+    return out, (params_pix, params_sem, x)
+
+
+def _packed_vjp_bwd(hidden, num_layers, num_groups, eps, interpret, res, g):
+    params_pix, params_sem, x = res
+
+    def concat_twin(pp, ps, v):
+        return jnp.concatenate(
+            [
+                encoder_stack_fused(pp, v, hidden, 1, 1, num_layers,
+                                    num_groups, eps, interpret),
+                encoder_stack_fused(ps, v, hidden, 3, 3, num_layers,
+                                    num_groups, eps, interpret),
+            ],
+            axis=-1,
+        )
+
+    _, vjp = jax.vjp(concat_twin, params_pix, params_sem, x)
+    return vjp(g)
+
+
+encoder_stack_fused_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 
 
 def _stack_vjp_fwd(params, x, hidden, kernel_size, ks_res, num_layers,

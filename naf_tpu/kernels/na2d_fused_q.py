@@ -415,6 +415,86 @@ def _pick_w_tiles(n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
     return 1
 
 
+def _fused_q_twin(enc, keys, values, rows_tab, cols_tab, rope_d_head,
+                  num_heads, kernel_size, scale):
+    """Differentiation-surface twin of the fused kernel: pool-up -> RoPE
+    from the separable tables -> NA. The NA stage is the fused Pallas NA
+    (whose OWN custom VJP is the Pallas recompute-P backward kernel) when
+    its tiling applies, else the row-blocked checkpointed oracle
+    (ops/na2d.py) — so jax.vjp of this twin runs the fast kernels in both
+    directions and only the pool/RoPE glue differentiates through XLA."""
+    from naf_tpu.kernels.na2d_fused import (
+        cross_scale_na2d_fused,
+        fused_applicable,
+    )
+    from naf_tpu.nn.rope import _rotate_half_matrix
+    from naf_tpu.ops.na2d import cross_scale_na2d
+    from naf_tpu.ops.pool import adaptive_avg_pool2d
+
+    b, hi, wi, c = enc.shape
+    hq, wq = rows_tab.shape[0], cols_tab.shape[0]
+    _, hk, wk, _ = keys.shape
+    n = num_heads
+    d = c // n
+    dv = values.shape[-1] // n
+    xu = adaptive_avg_pool2d(enc, (hq, wq))
+    rmat = jnp.asarray(
+        _rotate_half_matrix(c // rope_d_head, rope_d_head), xu.dtype
+    )
+    rot = jnp.einsum("bhwc,cd->bhwd", xu, rmat)
+    cos = rows_tab[:, :c][None, :, None, :] * cols_tab[:, :c][None, None]
+    sin = rows_tab[:, c:][None, :, None, :] * cols_tab[:, c:][None, None]
+    q = xu * cos.astype(xu.dtype) + rot * sin.astype(xu.dtype)
+    q5 = q.reshape(b, hq, wq, n, d)
+    k5 = keys.reshape(b, hk, wk, n, d)
+    v5 = values.reshape(b, hk, wk, n, dv)
+    if (
+        jax.default_backend() == "tpu"
+        and hq % hk == 0
+        and wq % wk == 0
+        and fused_applicable(hq, wq, hk, wk, kernel_size, n, d, dv,
+                             q.dtype.itemsize)
+    ):
+        out = cross_scale_na2d_fused(q5, k5, v5, kernel_size, scale=scale)
+    else:
+        out = cross_scale_na2d(q5, k5, v5, kernel_size, scale=scale)
+    return out.reshape(b, hq, wq, n * dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_q_diff(enc, keys, values, rows_tab, cols_tab, rope_d_head,
+                  num_heads, kernel_size, scale, interpret):
+    return _fused_q_impl(
+        enc, keys, values, rows_tab, cols_tab, rope_d_head,
+        num_heads=num_heads, kernel_size=kernel_size, scale=scale,
+        interpret=interpret,
+    )
+
+
+def _fused_q_diff_fwd(enc, keys, values, rows_tab, cols_tab, rope_d_head,
+                      num_heads, kernel_size, scale, interpret):
+    out = _fused_q_diff(
+        enc, keys, values, rows_tab, cols_tab, rope_d_head, num_heads,
+        kernel_size, scale, interpret,
+    )
+    return out, (enc, keys, values, rows_tab, cols_tab)
+
+
+def _fused_q_diff_bwd(rope_d_head, num_heads, kernel_size, scale, interpret,
+                      res, g):
+    enc, keys, values, rows_tab, cols_tab = res
+    _, vjp = jax.vjp(
+        lambda e, k, v, rt, ct: _fused_q_twin(
+            e, k, v, rt, ct, rope_d_head, num_heads, kernel_size, scale
+        ),
+        enc, keys, values, rows_tab, cols_tab,
+    )
+    return vjp(g)
+
+
+_fused_q_diff.defvjp(_fused_q_diff_fwd, _fused_q_diff_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rope_d_head", "num_heads", "kernel_size", "scale",
@@ -422,6 +502,42 @@ def _pick_w_tiles(n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
                      "w_tiles", "enc_banded", "_diag"),
 )
 def naf_upsample_attention(
+    enc, keys, values, rows_tab, cols_tab, rope_d_head=64, *,
+    num_heads: int, kernel_size: int, scale=None, interpret: bool = False,
+    geometry=None, row_cell0: int = 0, band_cells=None, out_acc=None,
+    w_tiles=None, enc_banded: bool = False, _diag: str = "",
+):
+    """Public entry. The standard full-grid call is differentiable (custom
+    VJP through the pure-XLA twin — reference trains through this attention,
+    src/layers/attentions.py:69-75); banded/aliased/diag variants are
+    inference-only and dispatch straight to the kernel."""
+    plain = (
+        row_cell0 == 0
+        and band_cells is None
+        and out_acc is None
+        and not enc_banded
+        and w_tiles is None
+        and geometry is None
+        and _diag == ""
+    )
+    if plain:
+        d = enc.shape[-1] // num_heads
+        return _fused_q_diff(
+            enc, keys, values, rows_tab, cols_tab, rope_d_head, num_heads,
+            kernel_size,
+            float(scale) if scale is not None else d ** -0.5,
+            interpret,
+        )
+    return _fused_q_impl(
+        enc, keys, values, rows_tab, cols_tab, rope_d_head,
+        num_heads=num_heads, kernel_size=kernel_size, scale=scale,
+        interpret=interpret, geometry=geometry, row_cell0=row_cell0,
+        band_cells=band_cells, out_acc=out_acc, w_tiles=w_tiles,
+        enc_banded=enc_banded, _diag=_diag,
+    )
+
+
+def _fused_q_impl(
     enc, keys, values, rows_tab, cols_tab, rope_d_head=64, *,
     num_heads: int, kernel_size: int, scale=None, interpret: bool = False,
     geometry=None, row_cell0: int = 0, band_cells=None, out_acc=None,

@@ -100,11 +100,31 @@ class ImageEncoder(nn.Module):
         self, x: jnp.ndarray, output_size: Tuple[int, int]
     ) -> jnp.ndarray:
         """Input guard + dual conv stacks, WITHOUT pooling or RoPE (those are
-        fused downstream by the fused-q inference path)."""
+        fused downstream by the fused-q inference path). When the fused
+        kernels apply, the two stacks write one PACKED output buffer
+        (kernels.encoder_fused.encoder_stack_fused_packed, differentiable
+        via its concat-twin VJP) — no pix|sem concat pass."""
+        from naf_tpu.kernels.encoder_fused import encoder_stack_fused_packed
+
         oh, ow = int(output_size[0]), int(output_size[1])
         h, w = x.shape[1], x.shape[2]
         if (h, w) != self.guard_size(h, w, oh, ow):
             x = resize_bilinear(x, self.guard_size(h, w, oh, ow))
+        hidden = self.out_channels // 2
+        if (
+            self.use_encoder
+            and not self.is_initializing()
+            and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and x.shape[1] * x.shape[2] >= 448 * 448
+            and fused_encoder_applicable(x.shape, 1, hidden)
+            and fused_encoder_applicable(x.shape, 3, hidden)
+        ):
+            return encoder_stack_fused_packed(
+                self.encoder.variables["params"],
+                self.sem_encoder.variables["params"],
+                x, hidden, self.img_layers,
+            )
         return self.encode(x)
 
     @staticmethod

@@ -218,12 +218,19 @@ class RoPE(nn.Module):
         streaming path (naf_tpu.api.naf_streamed) where the full-resolution
         encoder output never exists.
         """
-        from naf_tpu.ops.pool import _pool_matrix
+        from naf_tpu.ops.pool import _pool_matrix, adaptive_avg_pool2d
 
         b, hi, wi, c = x.shape
         fh = full_h or hi
         oh, ow = int(up_hw[0]), int(up_hw[1])
         kh, kw = int(down_hw[0]), int(down_hw[1])
+        if (hi, wi) == (oh, ow) and full_h is None:
+            # identity up-pool: the separable per-channel collapse below
+            # degenerates to C-batched (kh, oh) x (oh, ow) einsums whose
+            # minor-dim batching runs ~40 ms at 2048^2; the plain
+            # rope -> pool-down path is one fused elementwise pass plus the
+            # rotate matmul (~15 ms) and is exact.
+            return adaptive_avg_pool2d(self(x), (kh, kw))
         ch, cw = _axis_coords(oh, ow, self.normalize_coords)
         nfreq = self.d_head // 4
 

@@ -109,3 +109,70 @@ def test_fused_stack_gradients_match_flax():
     for k in la:
         np.testing.assert_allclose(np.asarray(la[k]), np.asarray(lb[k]),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_packed_dual_stack_matches_concat():
+    """encoder_stack_fused_packed (both stacks' final layers aliasing one
+    buffer) must equal concat(pix_stack, sem_stack) exactly — it replaces
+    ImageEncoder.encode's torch.cat analogue (reference src/model/naf.py:34)
+    on the inference path."""
+    from naf_tpu.kernels.encoder_fused import encoder_stack_fused_packed
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    pix = Encoder(128, kernel_size=1, ks_res=1, num_layers=2)
+    sem = Encoder(128, kernel_size=3, ks_res=3, num_layers=2)
+    p_pix = pix.init(jax.random.PRNGKey(0), x)["params"]
+    p_sem = sem.init(jax.random.PRNGKey(1), x)["params"]
+    want = jnp.concatenate(
+        [
+            encoder_stack_fused(p_pix, x, 128, 1, 1, 2, interpret=True),
+            encoder_stack_fused(p_sem, x, 128, 3, 3, 2, interpret=True),
+        ],
+        axis=-1,
+    )
+    got = encoder_stack_fused_packed(p_pix, p_sem, x, 128, 2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_packed_dual_stack_gradients():
+    """jax.grad through the packed dual stack (the 448^2+ TPU inference
+    route, which the bench harness's backward pass also hits) must match
+    grads of the plain concat composition — regression for the bare
+    AssertionError the r16/448^2 sweep rows recorded when the packed path
+    had no VJP."""
+    from naf_tpu.kernels.encoder_fused import encoder_stack_fused_packed
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 16, 16, 3), jnp.float32)
+    pix = Encoder(128, kernel_size=1, ks_res=1, num_layers=2)
+    sem = Encoder(128, kernel_size=3, ks_res=3, num_layers=2)
+    p_pix = pix.init(jax.random.PRNGKey(0), x)["params"]
+    p_sem = sem.init(jax.random.PRNGKey(1), x)["params"]
+    cot = jnp.asarray(rng.randn(1, 16, 16, 256).astype(np.float32))
+
+    def loss_packed(pp, ps, v):
+        return jnp.sum(
+            encoder_stack_fused_packed(pp, ps, v, 128, 2, interpret=True)
+            * cot
+        )
+
+    def loss_concat(pp, ps, v):
+        return jnp.sum(
+            jnp.concatenate(
+                [
+                    encoder_stack_fused(pp, v, 128, 1, 1, 2, interpret=True),
+                    encoder_stack_fused(ps, v, 128, 3, 3, 2, interpret=True),
+                ],
+                axis=-1,
+            )
+            * cot
+        )
+
+    ga = jax.grad(loss_packed, argnums=(0, 1, 2))(p_pix, p_sem, x)
+    gb = jax.grad(loss_concat, argnums=(0, 1, 2))(p_pix, p_sem, x)
+    la, lb = jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)

@@ -164,3 +164,33 @@ def test_naf_fused_q_path_matches_modular():
     want = np.asarray(m_xla.apply(params, img, feats, (64, 64)))
     got = np.asarray(m_fused.apply(params, img, feats, (64, 64)))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_q_gradients_match_modular():
+    """The custom VJP (pure-XLA twin backward) must match jax.grad of the
+    independent modular composition — training (and the harness's backward
+    benchmark) differentiates through the inference attention entry."""
+    hi = wi = 32
+    out = (64, 64)
+    hk = wk = 16
+    n, c, cv = 2, 128, 96
+    kk = 9
+    rng = np.random.RandomState(3)
+    enc = jnp.asarray(rng.randn(1, hi, wi, c).astype(np.float32))
+    values = jnp.asarray(rng.randn(1, hk, wk, cv).astype(np.float32))
+    rope = RoPE(embed_dim=c, num_heads=n)
+    params = rope.init(jax.random.PRNGKey(0), enc)
+    cot = jnp.asarray(rng.randn(1, *out, cv).astype(np.float32))
+
+    def loss_fused(e, v):
+        return jnp.sum(_fused(e, v, rope, params, out, kk, n) * cot)
+
+    def loss_mod(e, v):
+        return jnp.sum(_modular(e, v, rope, params, out, kk, n) * cot)
+
+    ga = jax.grad(loss_fused, argnums=(0, 1))(enc, values)
+    gb = jax.grad(loss_mod, argnums=(0, 1))(enc, values)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+        )
