@@ -54,8 +54,50 @@ def _ceil8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+def _pad_heads(a, n: int, d: int, dp: int):
+    """(..., n*d) -> (..., n*dp): zero-pad each head's channels to dp."""
+    if dp == d:
+        return a
+    sh = a.shape[:-1]
+    a5 = a.reshape(*sh, n, d)
+    a5 = jnp.pad(a5, ((0, 0),) * (a5.ndim - 1) + ((0, dp - d),))
+    return a5.reshape(*sh, n * dp)
+
+
+def _pad_tables(tab, n: int, d: int, dp: int):
+    """RoPE table (L, 2*n*d) cos|sin -> (L, 2*n*dp), each half head-padded.
+
+    Padded table lanes are ZERO, so q's padded lanes come out exactly zero
+    (q = x*cos + rot*sin) regardless of what the padded x/rot lanes hold."""
+    c = n * d
+    return jnp.concatenate(
+        [_pad_heads(tab[:, :c], n, d, dp), _pad_heads(tab[:, c:], n, d, dp)],
+        axis=-1,
+    )
+
+
 # queries per in-kernel chunk; tunable (live f32 = ~n_heads * 2 * this * 512B)
 _CHUNK_Q_BUDGET = 1024
+
+
+def _head_pad(d: int, pool_identity: bool) -> int:
+    """Padded per-head q/k width for the pool-up case.
+
+    Pool-up programs zero-pad every head's d channels to dp = ceil128(d)
+    lanes when that is STRICTLY smaller than the block-diag expansion
+    g*d = lcm(d, 128): each head's QK becomes ONE lane-aligned
+    (cq, dp) x (dp, 128) matmul — at d = 96 that is 3x fewer QK FLOPs (the
+    dominant MXU cost at 2048^2 outputs). When dp == lcm(d, 128) (e.g.
+    d = 64: both are 128) padding buys nothing and only inflates the
+    enc/q/scratch lanes, so the block-diag layout stays. The identity-pool
+    case also keeps the original layout: its q source is the
+    full-resolution encoder output read straight from HBM, and re-laying it
+    out would cost a full output-resolution HBM pass."""
+    if pool_identity or d % 128 == 0:
+        return d
+    dp = -(-d // 128) * 128
+    gd = d * 128 // math.gcd(d, 128)  # lcm: block-diag contraction width
+    return dp if dp < gd else d
 
 
 @functools.lru_cache(maxsize=512)
@@ -73,6 +115,7 @@ def pick_geometry(hq, wq, hi, wi, hk, wk, kernel, n, d, dv, itemsize=4):
     """
     if hq % hk or wq % wk or hk < kernel or wk < kernel:
         return None
+    d = _head_pad(d, (hi, wi) == (hq, wq))
     if n * d < 128 or (n * d) % 128:
         return None
     r_h, r_w = hq // hk, wq // wk
@@ -598,14 +641,23 @@ def _fused_q_impl(
     bc_h, bc_w = geom
     r_h, r_w = hq // hk, wq // wk
     bh, bw = bc_h * r_h, bc_w * r_w
-    g = _head_group(n, d)
-    gd = g * d
+    pool_identity = (hi_full, wi) == (hq, wq)
+    # Pool-up: zero-pad each head's q/k channels to dp lanes (g collapses to
+    # 1) — per-head QK contracts over dp <= lcm(d, 128) lanes; 3x fewer QK
+    # FLOPs at d = 96. Padded k lanes are zero, so the extra lanes
+    # contribute exactly nothing to the logits.
+    dp = _head_pad(d, pool_identity)
+    g = _head_group(n, dp)
+    gd = g * dp
     n_ch, n_cw = hk // bc_h, wk // bc_w
 
     dtype = enc.dtype
-    k_scaled = (
-        keys.reshape(b, hk, wk, n, d).astype(jnp.float32) * float(scale)
-    ).astype(dtype)
+    k5 = keys.reshape(b, hk, wk, n, d)
+    if dp != d:
+        k5 = jnp.pad(k5, ((0, 0),) * 4 + ((0, dp - d),))
+        rows_tab = _pad_tables(rows_tab, n, d, dp)
+        cols_tab = _pad_tables(cols_tab, n, d, dp)
+    k_scaled = (k5.astype(jnp.float32) * float(scale)).astype(dtype)
     if band_cells is None:
         band_cells = hk - row_cell0
     if row_cell0 % bc_h or band_cells % bc_h:
@@ -621,7 +673,6 @@ def _fused_q_impl(
         g, bc_h, bc_w, kk, row_cell0, band_cells,
     )
 
-    pool_identity = (hi_full, wi) == (hq, wq)
     if pool_identity:
         ih, iw, iwe = bh, bw, bw
         col_pool = None
@@ -640,9 +691,12 @@ def _fused_q_impl(
         rmat = jnp.asarray(
             _rotate_half_matrix(c // rope_d_head, rope_d_head), dtype
         )
-        enc = jnp.concatenate(
-            [enc, jnp.einsum("bhwc,cd->bhwd", enc, rmat)], axis=-1
-        )  # (b, hi, wi, 2C)
+        rot = jnp.einsum("bhwc,cd->bhwd", enc, rmat)
+        if dp != d:
+            enc = _pad_heads(enc, n, d, dp)
+            rot = _pad_heads(rot, n, d, dp)
+        enc = jnp.concatenate([enc, rot], axis=-1)  # (b, hi, wi, 2C')
+    c = n * dp  # padded working channel count (== C when dp == d)
     if enc_banded and hi != (band_cells // bc_h) * ih:
         raise ValueError(
             f"banded enc must hold exactly the band's input rows: expected "
@@ -768,6 +822,11 @@ def _fused_q_impl(
         out_shape=out_shape,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            # every program owns a disjoint output tile; parallel semantics
+            # let Mosaic pipeline the grid instead of serializing it
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         interpret=interpret,
     )(*inputs)
     return out

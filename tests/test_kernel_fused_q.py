@@ -71,6 +71,29 @@ def test_fused_q_matches_modular(hi, wi, out, hk, wk, kk):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
+def test_fused_q_padded_heads_matches_modular():
+    """d % 128 != 0 with ceil128(d) < lcm(d, 128) takes the padded-per-head
+    QK layout (g = 1, zero-padded lanes) instead of the block-diag
+    expansion — numerics must be exactly the modular composition's
+    (padded k lanes are zero, padded q lanes multiply them)."""
+    from naf_tpu.kernels.na2d_fused_q import _head_pad
+
+    n, c, cv = 2, 192, 96  # d = 96 -> dp = 128 < lcm(96, 128) = 384
+    assert _head_pad(c // n, False) == 128
+    hi = wi = 32
+    out = (64, 64)
+    hk = wk = 16
+    rng = np.random.RandomState(5)
+    enc = jnp.asarray(rng.randn(1, hi, wi, c).astype(np.float32))
+    values = jnp.asarray(rng.randn(1, hk, wk, cv).astype(np.float32))
+    rope = RoPE(embed_dim=c, num_heads=n)
+    params = rope.init(jax.random.PRNGKey(0), enc)
+
+    want = np.asarray(_modular(enc, values, rope, params, out, 9, n))
+    got = np.asarray(_fused(enc, values, rope, params, out, 9, n))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
 def test_fused_q_banded_matches_full():
     """Banded fused-q execution (cell-row ranges) must be bit-identical to
     the full-grid kernel (global window rule)."""
