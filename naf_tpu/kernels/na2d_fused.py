@@ -144,6 +144,71 @@ def fused_applicable(hq, wq, hk, wk, kernel: int, n=4, d=64, dv=64, itemsize=4):
     return pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize) is not None
 
 
+def _bwd_chunk_rows(r_h: int, bh: int, bw: int, nc: int) -> int:
+    """chunk_rows used by _fused_bwd_impl for a candidate block (shared so
+    the picker's VMEM model matches the kernel's actual live buffers)."""
+    budget_rows = max((1_000_000 // 4) // max(nc * bw, 1), 1)
+    chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
+    while bh % chunk_rows:
+        chunk_rows -= r_h
+    return chunk_rows
+
+
+@functools.lru_cache(maxsize=512)
+def pick_cell_blocks_bwd(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
+                         vmem_budget=11 * 2 ** 20):
+    """Block picker for the recompute-P backward kernel (_bwd_kernel).
+
+    The forward picker's VMEM model badly over-counts the backward: the
+    backward has no block-diagonal K expansion (per-head (nc, d) tiles), it
+    processes heads SEQUENTIALLY (one head's f32 temporaries live at a
+    time), and its logits lanes are nc (ceil-128) rather than g*nc_pad.
+    Using the forward model with a tight proxy budget rejected every block
+    at dv >= 192 or ratio 32 and silently routed training to the XLA-oracle
+    VJP (667 / 2650 ms where the kernel path runs in tens of ms)."""
+    cands_h = _valid_bcs(r_h, hk, kernel)
+    cands_w = _valid_bcs(r_w, wk, kernel)
+    if not cands_h or not cands_w:
+        return None
+    overhead_s = 3e-6
+    hbm_bps = 6e11
+    mxu_flops = 1.2e14 if itemsize <= 2 else 4e13
+    vpu_ops = 3e12
+    best, best_cost = None, None
+    for bc_h in cands_h:
+        for bc_w in cands_w:
+            bh, bw = bc_h * r_h, bc_w * r_w
+            nc = (bc_h + kernel - 1) * (bc_w + kernel - 1)
+            ncl = _pad128(nc)  # vreg lane padding of the (cq, nc) temps
+            chunk_rows = _bwd_chunk_rows(r_h, bh, bw, nc)
+            cq = chunk_rows * bw
+            # double-buffered in/out blocks: q/do/dq head-major big arrays +
+            # k/v tiles (io dtype) + dk/dv tile grads (f32)
+            big_bytes = n * bh * bw * (2 * d + 2 * dv) * itemsize
+            tile_bytes = n * nc * (d + dv) * itemsize + n * nc * (d + dv) * 4
+            # one head's live f32 chain: logits, p, dp, dl (+ dq/dk/dv temps)
+            live_bytes = 5 * cq * ncl * 4
+            if 2 * (big_bytes + tile_bytes) + live_bytes > vmem_budget:
+                continue
+            programs = -(-hk // bc_h) * -(-wk // bc_w)
+            cqt = bh * bw  # queries per program (all chunks)
+            flops = n * 2 * cqt * ncl * (3 * d + 2 * dv)  # QK,dP,dQ,dK,dV
+            softmax_ops = 14 * n * cqt * ncl
+            bytes_moved = (
+                n * bh * bw * (2 * d + 2 * dv) * itemsize
+                + n * nc * (d + dv) * (itemsize + 4)
+            )
+            cost = programs * (
+                overhead_s
+                + bytes_moved / hbm_bps
+                + flops / mxu_flops
+                + softmax_ops / vpu_ops
+            )
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (bc_h, bc_w), cost
+    return best
+
+
 @functools.lru_cache(maxsize=512)
 def _tile_origins(l: int, bc: int, kernel: int, cell0: int = 0, n_cells=None) -> np.ndarray:
     """Union-tile origin per cell block along one axis (host-side, static).
@@ -440,9 +505,8 @@ def _fused_diff_bwd(kernel_size, scale, interpret, row_cell0, full_hq, res, g):
         raise NotImplementedError("banded fused NA is inference-only")
     b, hq, wq, n, d = q.shape
     _, hk, wk, _, dv = v.shape
-    blocks = pick_cell_blocks(
-        hq // hk, wq // wk, hk, wk, kernel_size, n, d, dv,
-        q.dtype.itemsize, vmem_budget=3 * 2 ** 20,
+    blocks = pick_cell_blocks_bwd(
+        hq // hk, wq // wk, hk, wk, kernel_size, n, d, dv, q.dtype.itemsize
     )
     if blocks is None:
         # Shapes the Pallas backward can't tile (e.g. many-head small-d
@@ -614,11 +678,7 @@ def _fused_bwd_impl(q, k, v, g, kernel_size: int, scale, interpret=False):
     kk = kernel_size
     r_h, r_w = hq // hk, wq // wk
     itemsize = q.dtype.itemsize
-    # the backward holds ~2.5x the forward's tiles (q/do/dq + k/v/dk/dv),
-    # so pick blocks against a much tighter VMEM budget
-    blocks = pick_cell_blocks(
-        r_h, r_w, hk, wk, kk, n, d, dv, itemsize, vmem_budget=3 * 2 ** 20
-    )
+    blocks = pick_cell_blocks_bwd(r_h, r_w, hk, wk, kk, n, d, dv, itemsize)
     if blocks is None:
         raise ValueError("shapes not supported by fused kernel; use the xla path")
     bc_h, bc_w = blocks
@@ -629,10 +689,7 @@ def _fused_bwd_impl(q, k, v, g, kernel_size: int, scale, interpret=False):
     kb_w = bc_w + kk - 1
     nc = kb_h * kb_w
 
-    budget_rows = max((1_000_000 // 4) // max(nc * bw, 1), 1)
-    chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
-    while bh % chunk_rows:
-        chunk_rows -= r_h
+    chunk_rows = _bwd_chunk_rows(r_h, bh, bw, nc)
 
     k_tiles = _gather_union_tiles(k.reshape(b, hk, wk, n * d), bc_h, bc_w, kk)
     v_tiles = _gather_union_tiles(v.reshape(b, hk, wk, n * dv), bc_h, bc_w, kk)

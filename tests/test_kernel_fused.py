@@ -76,3 +76,44 @@ def test_backward_oracle_fallback_many_heads():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    # (hq, wq, hk, wk, kk, n, d, dv) — scaled analogues of configs the old
+    # forward-model proxy budget rejected, silently routing training to the
+    # slow XLA-oracle VJP: embed_dim>=768 (dv-heavy) and ratio 32
+    (48, 48, 12, 12, 5, 4, 64, 192),   # dv = 3x d (embed_dim 768 analogue)
+    (192, 192, 6, 6, 5, 4, 64, 32),    # ratio 32 (f32-sized; bf16 fits dv 96)
+])
+def test_bwd_kernel_unlocked_shapes(shape):
+    """The dedicated backward picker (pick_cell_blocks_bwd) must tile these
+    and the Pallas recompute-P backward must match the oracle VJP."""
+    from naf_tpu.kernels.na2d_fused import pick_cell_blocks_bwd
+
+    hq, wq, hk, wk, kk, n, d, dv = shape
+    assert pick_cell_blocks_bwd(
+        hq // hk, wq // wk, hk, wk, kk, n, d, dv, 4
+    ) is not None
+    q, k, v = _qkv(hq, wq, hk, wk, n=n, d=d, dv=dv)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(cross_scale_na2d_fused(q, k, v, kk, interpret=True) ** 2)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(cross_scale_na2d(q, k, v, kk) ** 2)
+
+    ga = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_bwd_picker_covers_production_configs():
+    """The exact (bf16) training configs that regressed to the oracle in the
+    round-2 sweeps must tile under the backward picker."""
+    from naf_tpu.kernels.na2d_fused import pick_cell_blocks_bwd
+
+    for r, dv in [(16, 192), (16, 256), (32, 96), (16, 96), (8, 96)]:
+        assert pick_cell_blocks_bwd(r, r, 28, 28, 9, 4, 64, dv, 2) is not None, \
+            f"ratio {r}, dv {dv}"
