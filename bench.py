@@ -11,6 +11,9 @@ Extra fields:
   regime, test/test_results.json:553-579: upsampling dominates, encoder
   cheap). The README's ~18 FPS "intermediate resolution" figure and the
   >=3x north star refer to this kind of 2K output.
+- bwd_ms_448_r16: backward+SGD step at the default config (1x1 head, the
+  reference's backward benchmark shape, test/backward_speed.py:33-62;
+  A100 measures 163.08 ms).
 - na_kernel_ms_448: bare fused cross-scale NA kernel at the default config.
 
 Timing methodology: naf_tpu.utils.benchmarking.device_time_ms — N chained
@@ -61,6 +64,21 @@ def main():
     f = lambda p, im, ft: fwd(p, im, ft, (448, 448))
     t448 = _timeit(f, params, image, feats)
     results["fps_448"] = 1.0 / t448
+
+    # Backward at the same config: 1x1 head + SGD step, the reference's
+    # backward benchmark shape (test/backward_speed.py:33-62; A100 163.08 ms)
+    head = jnp.asarray(rng.randn(384, 384) * 0.01, dtype)
+
+    def train_step(params, head, image, feats):
+        def loss_fn(p, h):
+            out = fwd(p, image, feats, (448, 448))
+            return jnp.mean((out @ h) ** 2)
+
+        gp, gh = jax.grad(loss_fn, argnums=(0, 1))(params, head)
+        params = jax.tree.map(lambda p, g: p - 1e-3 * g, params, gp)
+        return params, head - 1e-3 * gh
+
+    results["bwd_ms_448"] = _timeit(train_step, params, head, image, feats) * 1e3
 
     # Max-size: 2048^2 out from 128^2 lr (ratio 16), 2048^2 input image.
     image2 = jnp.asarray(rng.randn(1, 2048, 2048, 3), dtype)
@@ -124,6 +142,7 @@ def main():
         "vs_baseline": round(results["fps_448"] / ref_fps, 2),
         "fps_2048_r16": round(results["fps_2048"], 2),
         "fps_448to2048_r16": round(results["fps_448to2048"], 2),
+        "bwd_ms_448_r16": round(results["bwd_ms_448"], 2),
         "na_kernel_ms_448": round(results["na_kernel_ms_448"], 3),
         "device": str(jax.devices()[0]),
         "dtype": "bfloat16",

@@ -139,6 +139,187 @@ def _kernel(
         ps_ref[0, 0, 0, 1, :] = jnp.sum(y * y, axis=(0, 1))
 
 
+def _dual_kernel(
+    x_ref,      # (1, bh+2, bw+8, 2C) Element halo tile of the padded PACKED
+    #             [pix|sem] input (reflect ring used by sem; pix reads interior)
+    scale_ref,  # (1, 2C) f32 — per-channel GN affine, [pix|sem]
+    shift_ref,  # (1, 2C) f32
+    wp_ref,     # (1, C, C) pix 1x1 conv weight
+    ws_ref,     # (9, C, C) sem 3x3 conv weights (tap-major dy*3+dx)
+    bp_ref,     # (1, C) f32
+    bs_ref,     # (1, C) f32
+    y_ref,      # (1, bh, bw, 2C) packed out
+    ps_ref,     # (1, 1, 1, 2, 2C) f32 out — [sum, sumsq] of y, packed
+    z_ref,      # (4, bh+2, bw+8, C) scratch: [0..2] sem col-rolled copies,
+    #             [3] pix rolled by one column (so its slices stay aligned)
+    *,
+    bh: int,
+    bw: int,
+):
+    """One PACKED dual-stack encoder layer: both stacks' GN->SiLU->conv in a
+    single pass over one (.., 2C) buffer. The pixel stack's conv is 1x1, so
+    its HBM traffic rides along the MXU-bound 3x3 pass for free — run
+    separately it costs its own full read+write of the grid per layer
+    (measured 5.4 ms/layer at 2048^2). Channel halves are lane slices at a
+    128 multiple, so every slice below is Mosaic-legal."""
+    c = wp_ref.shape[-1]
+    xt = x_ref[0]
+    zf = xt.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+    zf = zf * jax.nn.sigmoid(zf)
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    wcols = zf.shape[1]
+    zsem = zf[:, :, c:]
+    z_ref[0] = zsem.astype(x_ref.dtype)
+    z_ref[1] = pltpu.roll(zsem, wcols - 1, 1).astype(x_ref.dtype)
+    z_ref[2] = pltpu.roll(zsem, wcols - 2, 1).astype(x_ref.dtype)
+    # pix input = interior of the padded tile = (rows 1..bh+1, cols 1..bw+1);
+    # a col-rolled copy turns the col offset into an aligned 0..bw slice
+    z_ref[3] = pltpu.roll(zf[:, :, :c], wcols - 1, 1).astype(x_ref.dtype)
+
+    accp = jax.lax.dot_general(
+        z_ref[3, 1 : 1 + bh, 0:bw, :].reshape(bh * bw, c),
+        wp_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    acc0 = acc1 = None
+    for dy in range(3):
+        for dx in range(3):
+            part = jax.lax.dot_general(
+                z_ref[dx, dy : dy + bh, 0:bw, :].reshape(bh * bw, c),
+                ws_ref[dy * 3 + dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            if (dy * 3 + dx) % 2 == 0:
+                acc0 = part if acc0 is None else acc0 + part
+            else:
+                acc1 = part if acc1 is None else acc1 + part
+
+    yp = (accp + bp_ref[0]).reshape(bh, bw, c)
+    ys = ((acc0 + acc1) + bs_ref[0]).reshape(bh, bw, c)
+    y_ref[0, :, :, :c] = yp.astype(y_ref.dtype)
+    y_ref[0, :, :, c:] = ys.astype(y_ref.dtype)
+    ps_ref[0, 0, 0, 0, :c] = jnp.sum(yp, axis=(0, 1))
+    ps_ref[0, 0, 0, 0, c:] = jnp.sum(ys, axis=(0, 1))
+    ps_ref[0, 0, 0, 1, :c] = jnp.sum(yp * yp, axis=(0, 1))
+    ps_ref[0, 0, 0, 1, c:] = jnp.sum(ys * ys, axis=(0, 1))
+
+
+def _pick_tiles_dual(h: int, w: int, c: int, itemsize: int):
+    """(bh, bw) for the dual kernel; c is the per-stack channel count.
+
+    Live set: double-buffered (.., 2C) x/y blocks, the f32 activated tile,
+    4 scratch slabs, and the sem tap chains + pix accumulator (f32).
+    Tie-break on halo inflation ((bh+2)(bw+8)/(bh*bw) — the overlapping
+    Element reads are re-fetched HBM bytes), so (16, 64) beats (64, 16)."""
+    best = None
+    for bh in (64, 32, 16, 8, 4, 2, 1):
+        if h % bh:
+            continue
+        for bw in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+            if w % bw:
+                continue
+            x_t = (bh + 2) * (bw + 8) * 2 * c * itemsize
+            y_t = bh * bw * 2 * c * itemsize
+            zf_t = (bh + 2) * (bw + 8) * 2 * c * 4
+            z_t = 4 * (bh + 2) * (bw + 8) * c * itemsize
+            acc = bh * bw * c * 4
+            live_parts = 5 * acc  # 2 sem chains + transients + pix acc
+            use = 3 * x_t + zf_t + z_t + 2 * y_t + live_parts + 10 * c * c * itemsize
+            score = (bh * bw, -((bh + 2) * (bw + 8)) / (bh * bw))
+            if use < 12 * 2**20 and (best is None or score > best[0]):
+                best = (score, bh, bw)
+    return (best[1], best[2]) if best else None
+
+
+def dual_encoder_applicable(x_shape, hidden: int) -> bool:
+    _, h, w, _ = x_shape
+    if hidden % 128 or w % 8:
+        return False
+    return _pick_tiles_dual(h, w, hidden, 2) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles"))
+def gn_silu_conv_dual_fused(x, scale, shift, wp, ws, bp, bs,
+                            interpret: bool = False, tiles=None):
+    """One packed dual-stack layer. x (B,H,W,2C) [pix|sem] -> (y, psums).
+
+    y[..., :C] = conv1x1(silu(x[..., :C]*scale_p + shift_p))
+    y[..., C:] = conv3x3_reflect(silu(x[..., C:]*scale_s + shift_s))
+    psums (B, 2, 2C) f32 [sum, sumsq] of y, for the next layer's GroupNorms.
+    """
+    bsz, h, wd, c2 = x.shape
+    c = c2 // 2
+    tiles = tiles or _pick_tiles_dual(h, wd, c, x.dtype.itemsize)
+    if tiles is None:
+        raise ValueError(f"unsupported shape for dual encoder layer: {x.shape}")
+    bh, bw = tiles
+    np_i, np_j = h // bh, wd // bw
+
+    xin = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)), mode="reflect")
+    x_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 2), pl.Element(bw + 8), pl.Element(c2)),
+        lambda bb, i, j: (bb, i * bh, j * bw, 0),
+        memory_space=pltpu.VMEM,
+    )
+    small = lambda shape: pl.BlockSpec(
+        shape, lambda bb, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_b = lambda ch: pl.BlockSpec(
+        (1, ch), lambda bb, i, j: (bb, 0), memory_space=pltpu.VMEM
+    )
+
+    y, ps = pl.pallas_call(
+        functools.partial(_dual_kernel, bh=bh, bw=bw),
+        grid=(bsz, np_i, np_j),
+        in_specs=[
+            x_spec,
+            per_b(c2),
+            per_b(c2),
+            small((1, c, c)),
+            small((9, c, c)),
+            small((1, c)),
+            small((1, c)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, bh, bw, c2), lambda bb, i, j: (bb, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 2, c2), lambda bb, i, j: (bb, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, wd, c2), x.dtype),
+            jax.ShapeDtypeStruct((bsz, np_i, np_j, 2, c2), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, bh + 2, bw + 8, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(
+        xin,
+        jnp.broadcast_to(scale, (bsz, c2)).astype(jnp.float32),
+        jnp.broadcast_to(shift, (bsz, c2)).astype(jnp.float32),
+        wp.reshape(1, c, c),
+        ws.reshape(9, c, c),
+        bp.reshape(1, c).astype(jnp.float32),
+        bs.reshape(1, c).astype(jnp.float32),
+    )
+    return y, jnp.sum(ps, axis=(1, 2))
+
+
 def _pick_tiles(h: int, w: int, c: int, f: int, kk: int, itemsize: int):
     """(bh, bw) maximizing tile area under a conservative VMEM model.
 
@@ -514,8 +695,74 @@ def encoder_stack_fused_packed(
     )
 
 
+def _stem_dual_matmul(x, kp, bp, ks_, bs_):
+    """Both stems as ONE im2col matmul: the pixel stack's 1x1 stem embeds at
+    the 3x3 grid's center tap (zero rows elsewhere contribute exactly 0 in
+    the f32 accumulator, so numerics match the separate k=1 stem)."""
+    c = kp.shape[-1]
+    pix3 = jnp.zeros((3, 3, 3, c), kp.dtype).at[1, 1].set(kp[0, 0])
+    wcat = jnp.concatenate([pix3, ks_], axis=-1)  # (3, 3, 3, 2C)
+    bcat = jnp.concatenate([bp, bs_])
+    return _stem_conv_matmul(x, wcat, bcat, 3)
+
+
+def _dual_fwd_impl(params_pix, params_sem, x, hidden, num_layers,
+                   num_groups, eps, interpret):
+    """Packed dual-stack forward: one merged stem matmul + one dual kernel
+    per layer (both stacks per pass). Numerically identical to
+    concat(encoder_stack_fused(pix), encoder_stack_fused(sem))."""
+    c = hidden
+    y = _stem_dual_matmul(
+        x,
+        params_pix["stem"]["conv"]["kernel"], params_pix["stem"]["conv"]["bias"],
+        params_sem["stem"]["conv"]["kernel"], params_sem["stem"]["conv"]["bias"],
+    )
+    ps = _channel_sums(y)  # (B, 2, 2C)
+    hw = x.shape[1] * x.shape[2]
+    for i in range(num_layers):
+        blk_p = params_pix[f"block{i}"]
+        blk_s = params_sem[f"block{i}"]
+        for norm_name, conv_name in (("norm1", "conv1"), ("norm2", "conv2")):
+            sc_p, sh_p = _gn_affine(
+                ps[:, :, :c], blk_p[norm_name]["scale"],
+                blk_p[norm_name]["bias"], hw, num_groups, eps,
+            )
+            sc_s, sh_s = _gn_affine(
+                ps[:, :, c:], blk_s[norm_name]["scale"],
+                blk_s[norm_name]["bias"], hw, num_groups, eps,
+            )
+            y, ps = gn_silu_conv_dual_fused(
+                y,
+                jnp.concatenate([sc_p, sc_s], axis=-1),
+                jnp.concatenate([sh_p, sh_s], axis=-1),
+                blk_p[conv_name]["conv"]["kernel"],
+                blk_s[conv_name]["conv"]["kernel"],
+                blk_p[conv_name]["conv"]["bias"],
+                blk_s[conv_name]["conv"]["bias"],
+                interpret=interpret,
+            )
+    return y
+
+
+# Measured on v5e (tools/dual_encoder_profile.py): the dual-pass route LOSES
+# to per-stack fused layers end-to-end — 127.6 vs 99.7 ms @2048^2, 4.21 vs
+# 3.40 ms @448^2 (c=128/stack). Packing doubles the channel width, which
+# halves the feasible tile area under the VMEM budget and inflates the
+# Element-halo re-reads (the (bh+2)(bw+8)/(bh*bw) factor) on BOTH halves,
+# including the pix half that needs no halo at all. Kept as an opt-in
+# ablation; flip only with fresh measurements.
+DUAL_ROUTE = False
+
+
 def _packed_fwd_impl(params_pix, params_sem, x, hidden, num_layers,
                      num_groups, eps, interpret):
+    if DUAL_ROUTE and dual_encoder_applicable(
+        (x.shape[0], x.shape[1], x.shape[2], 2 * hidden), hidden
+    ):
+        return _dual_fwd_impl(
+            params_pix, params_sem, x, hidden, num_layers, num_groups, eps,
+            interpret,
+        )
     hw = x.shape[1] * x.shape[2]
     out = None
     for idx, (prm, ks) in enumerate(((params_pix, 1), (params_sem, 3))):

@@ -395,8 +395,12 @@ def _kernel(
                     # unnecessary (exp never overflows; masked -1e30
                     # underflows to exactly 0), and normalization is
                     # deferred past the AV matmul where the operand is dv
-                    # wide instead of nc_pad.
-                    e = logits[h] if diag == "noexp" else jnp.exp(logits[h])
+                    # wide instead of nc_pad. The caller folds log2(e) into
+                    # the K scale so the base-2 exponential here IS exp of
+                    # the natural-base logits (softmax is base-invariant
+                    # under that rescale) — exp2 is the hardware primitive;
+                    # plain exp pays an extra full-size multiply to reach it.
+                    e = logits[h] if diag == "noexp" else jnp.exp2(logits[h])
                     r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
                     if diag == "noav":  # timing ablation: skip AV matmuls
                         outs.append((e[:, :dv] * r).astype(o_ref.dtype))
@@ -657,7 +661,14 @@ def _fused_q_impl(
         k5 = jnp.pad(k5, ((0, 0),) * 4 + ((0, dp - d),))
         rows_tab = _pad_tables(rows_tab, n, d, dp)
         cols_tab = _pad_tables(cols_tab, n, d, dp)
-    k_scaled = (k5.astype(jnp.float32) * float(scale)).astype(dtype)
+    # bf16 path: fold log2(e) into the K scale — the kernel then applies the
+    # hardware-native exp2 directly (softmax is invariant under the base
+    # change). f32 path keeps natural-base logits for bit-parity with the
+    # oracle's exp.
+    kscale = float(scale) * (
+        1.0 if dtype == jnp.float32 else 1.4426950408889634
+    )
+    k_scaled = (k5.astype(jnp.float32) * kscale).astype(dtype)
     if band_cells is None:
         band_cells = hk - row_cell0
     if row_cell0 % bc_h or band_cells % bc_h:
@@ -734,10 +745,18 @@ def _fused_q_impl(
         )
 
     # chunk_rows: largest multiple of r_h dividing bh with a bounded query
-    # count per chunk (bounds the live f32 logits/AV buffers).
+    # count per chunk (bounds the live f32 logits/AV buffers). The identity-
+    # pool f32 case halves the budget: its in-chunk rotate-half keeps ~5
+    # channel-wide f32 intermediates live (x3f, two rolls, rot, q3) that the
+    # pool-up case precomputes into scratch — at 1024 queries x 384 lanes
+    # that is ~8 MB the VMEM model never sees (measured: 17.17M scoped-vmem
+    # OOM at 448^2/r16 f32, fine in bf16 where the blocks are half-size).
+    budget = _CHUNK_Q_BUDGET
+    if pool_identity and dtype == jnp.float32:
+        budget = _CHUNK_Q_BUDGET // 2
     chunk_rows = r_h
     for m in range(bc_h, 0, -1):
-        if bc_h % m == 0 and m * r_h * bw <= _CHUNK_Q_BUDGET:
+        if bc_h % m == 0 and m * r_h * bw <= budget:
             chunk_rows = m * r_h
             break
 

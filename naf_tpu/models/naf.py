@@ -31,10 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from naf_tpu.kernels.encoder_fused import (
-    encoder_stack_fused,
-    fused_encoder_applicable,
-)
+from naf_tpu.kernels.encoder_fused import fused_encoder_applicable
 from naf_tpu.nn.attention import CrossScaleAttention
 from naf_tpu.nn.conv import Encoder
 from naf_tpu.nn.rope import RoPE
@@ -87,13 +84,13 @@ class ImageEncoder(nn.Module):
             and fused_encoder_applicable(x.shape, 1, hidden)
             and fused_encoder_applicable(x.shape, 3, hidden)
         ):
-            pix = encoder_stack_fused(
-                self.encoder.variables["params"], x, hidden, 1, 1, self.img_layers
+            from naf_tpu.kernels.encoder_fused import encoder_stack_fused_packed
+
+            return encoder_stack_fused_packed(
+                self.encoder.variables["params"],
+                self.sem_encoder.variables["params"],
+                x, hidden, self.img_layers,
             )
-            sem = encoder_stack_fused(
-                self.sem_encoder.variables["params"], x, hidden, 3, 3, self.img_layers
-            )
-            return jnp.concatenate([pix, sem], axis=-1)
         return jnp.concatenate([self.encoder(x), self.sem_encoder(x)], axis=-1)
 
     def encode_guarded(

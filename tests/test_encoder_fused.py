@@ -135,6 +135,35 @@ def test_packed_dual_stack_matches_concat():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_dual_route_matches_concat():
+    """The opt-in dual-pass route (one kernel computing both stacks per
+    layer, merged im2col stem — kept as an ablation; measured slower e2e
+    than per-stack fused layers, see encoder_fused.DUAL_ROUTE) must match
+    concat(pix_stack, sem_stack). Tolerance is ulp-level, not exact: the
+    merged stem embeds the pixel 1x1 weights at the 3x3 grid's center tap,
+    and XLA's f32 reduction tree over the 27-lane contraction orders the
+    same addends differently than the separate 3-lane stem."""
+    from naf_tpu.kernels.encoder_fused import _dual_fwd_impl
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    pix = Encoder(128, kernel_size=1, ks_res=1, num_layers=2)
+    sem = Encoder(128, kernel_size=3, ks_res=3, num_layers=2)
+    p_pix = pix.init(jax.random.PRNGKey(0), x)["params"]
+    p_sem = sem.init(jax.random.PRNGKey(1), x)["params"]
+    want = jnp.concatenate(
+        [
+            encoder_stack_fused(p_pix, x, 128, 1, 1, 2, interpret=True),
+            encoder_stack_fused(p_sem, x, 128, 3, 3, 2, interpret=True),
+        ],
+        axis=-1,
+    )
+    got = _dual_fwd_impl(p_pix, p_sem, x, 128, 2, 8, 1e-5, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4
+    )
+
+
 def test_packed_dual_stack_gradients():
     """jax.grad through the packed dual stack (the 448^2+ TPU inference
     route, which the bench harness's backward pass also hits) must match

@@ -217,3 +217,31 @@ def test_fused_q_gradients_match_modular():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
         )
+
+
+def test_fused_q_bf16_matches_f32_oracle():
+    """The bf16 fast path (deferred-normalize softmax, log2e folded into the
+    K scale + in-kernel exp2) must stay within bf16-grade error of the f32
+    modular oracle, in both the pool-up and identity-pool regimes."""
+    n, c, cv = 2, 128, 96
+    rng = np.random.RandomState(1)
+    for hi, wi, out in [(32, 32, (64, 64)), (64, 64, (64, 64))]:
+        enc32 = jnp.asarray(rng.randn(1, hi, wi, c).astype(np.float32))
+        values32 = jnp.asarray(rng.randn(1, 16, 16, cv).astype(np.float32))
+        rope = RoPE(embed_dim=c, num_heads=n)
+        params = rope.init(jax.random.PRNGKey(0), enc32)
+
+        want = np.asarray(_modular(enc32, values32, rope, params, out, 9, n))
+        got = np.asarray(
+            _fused(
+                enc32.astype(jnp.bfloat16), values32.astype(jnp.bfloat16),
+                rope, params, out, 9, n,
+            )
+        ).astype(np.float32)
+        # bf16 has ~2-3 significant decimal digits; outputs are O(1)
+        err = np.abs(got - want)
+        assert err.max() < 0.15, err.max()
+        cos = np.vdot(got, want) / (
+            np.linalg.norm(got) * np.linalg.norm(want)
+        )
+        assert cos > 0.9995, cos
