@@ -289,11 +289,15 @@ def _kernel(
         v_t = v_ref[0, 0, tt]    # (128, n*dv)
 
         # ---- pool-up into the xup scratch (skipped when hi == hq) ----
-        # The column RoPE tables are folded into the column-pool epilogue:
-        # xc channel layout is (x | rot) and cols_t is (cos_c | sin_c), so
-        # ONE (ih, bw, 2C) multiply replaces the per-chunk (bh-row)
-        # cos_r*cos_c / sin_r*sin_c products — the chunk-level RoPE
-        # collapses to x3c * cos_r + x3s * sin_r.
+        # BOTH RoPE table factors fold into the pool-up itself: the column
+        # tables into the column-pool epilogue (xc channel layout is
+        # (x | rot), cols_t is (cos_c | sin_c) — one (ih, bw, 2C) multiply),
+        # and the row tables into the row-blend epilogue (the blend's f32
+        # accumulator is already in registers, so q[o] = acc_x * cos_r[o] +
+        # acc_rot * sin_r[o] costs two multiplies and one add over C lanes,
+        # writes HALF the scratch, and leaves the chunk loop with ZERO RoPE
+        # work — ablations measured the per-chunk rope at ~4 ms of VPU time
+        # at 2048^2 outputs).
         if not pool_identity and diag != "nopool":
             ih = enc_ref.shape[2]
             pcol = col_pool_ref[...].astype(enc_ref.dtype)  # (bw, iwe)
@@ -310,35 +314,35 @@ def _kernel(
                 acc = taps[0][1] * xc_ref[taps[0][0]]
                 for i, wgt in taps[1:]:
                     acc = acc + wgt * xc_ref[i]
-                xup_ref[o] = acc.astype(dtype)
+                if diag == "norope":
+                    q_o = acc[:, :c_dim]
+                else:
+                    q_o = (
+                        acc[:, :c_dim] * rows_ref[o, :c_dim]
+                        + acc[:, c_dim:] * rows_ref[o, c_dim:]
+                    )
+                xup_ref[o] = q_o.astype(dtype)
 
         for ck in range(n_chunks):
             o0 = ck * chunk_rows
             if pool_identity:
                 x3 = enc_ref[0, pl.ds(o0, chunk_rows), pl.ds(tt * bw, bw)]
-                rot = None
-            else:
-                x3full = xup_ref[pl.ds(o0, chunk_rows)]  # (chunk, bw, 2C)
-                x3 = x3full[:, :, :c_dim]
-                rot = x3full[:, :, c_dim:]  # pooled pre-rotated copy
-
-            # ---- RoPE ----
-            if diag == "norope":
-                q3 = x3
-            else:
-                cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None, :]
-                sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None, :]
-                if rot is None:
-                    # identity pool: rotate-half via f32 lane rolls
-                    # (Mosaic's rotate only handles 32-bit lanes)
+                # ---- RoPE (identity pool only; the pool-up case folds BOTH
+                # table factors into the pool epilogues above) ----
+                if diag == "norope":
+                    q3 = x3
+                else:
+                    cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None]
+                    sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None]
+                    # rotate-half via f32 lane rolls (Mosaic's rotate only
+                    # handles 32-bit lanes)
                     x3f = x3.astype(jnp.float32)
                     r1 = pltpu.roll(x3f, c_dim - dh2, 2)  # x[c + dh/2]
                     r2 = pltpu.roll(x3f, dh2, 2)          # x[c - dh/2]
                     rot = jnp.where(first_half, -r1, r2).astype(x3.dtype)
                     q3 = x3 * (cos_r3 * cos_c3) + rot * (sin_r3 * sin_c3)
-                else:
-                    # pool case: col tables pre-folded into x3/rot
-                    q3 = x3 * cos_r3 + rot * sin_r3
+            else:
+                q3 = xup_ref[pl.ds(o0, chunk_rows)]  # ready-made queries
             q2 = q3.reshape(cq, c_dim)
 
             # ---- mask for this chunk ----
@@ -454,7 +458,7 @@ def _pick_w_tiles(n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
         scratch = (
             0
             if pool_identity
-            else (ih * bw * 2 * c * 4 + bh * bw * 2 * c * itemsize)
+            else (ih * bw * 2 * c * 4 + bh * bw * c * itemsize)
         )
         use = 2 * (out_b + enc_b + kv_b + tabs_b) + scratch + live_f32
         if use < 13 * 2**20:
@@ -776,7 +780,7 @@ def _fused_q_impl(
     if not pool_identity:
         scratch = [
             pltpu.VMEM((ih, bw, 2 * c), jnp.float32),
-            pltpu.VMEM((bh, bw, 2 * c), dtype),
+            pltpu.VMEM((bh, bw, c), dtype),  # ready-made (RoPE'd) queries
         ]
 
     def kern(*refs):
