@@ -67,7 +67,7 @@ class ImageFolderDataset:
     EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
     def __init__(self, root: str, transform: Optional[Callable] = None,
-                 root_cache: Optional[str] = None):
+                 root_cache: Optional[str] = None, num_classes=None, tag=None):
         self.root = root
         self.transform = transform
         cache = (root_cache or root).rstrip("/") + ".txt"
@@ -110,7 +110,8 @@ class ADE20KDataset(_SegDataset):
     NUM_CLASSES = 151
 
     def __init__(self, root, transform=None, target_transform=None,
-                 split="train", check_sizes=False):
+                 split="train", check_sizes=False,
+                 num_classes=None, tag=None):
         image_dir = os.path.join(root, f"images/{self.SPLIT_DIR[split]}")
         ann_dir = os.path.join(root, f"annotations/{self.SPLIT_DIR[split]}")
         images = sorted(os.listdir(image_dir))
@@ -140,7 +141,8 @@ class CityscapesDataset(_SegDataset):
     NUM_CLASSES = 19
 
     def __init__(self, root, transform=None, target_transform=None,
-                 split="train", check_sizes=False):
+                 split="train", check_sizes=False,
+                 num_classes=None, tag=None):
         img_root = os.path.join(root, "leftImg8bit", split)
         lbl_root = os.path.join(root, "gtFine", split)
         pairs = []
@@ -169,7 +171,8 @@ class COCOStuffDataset(_SegDataset):
     NUM_CLASSES = 27
 
     def __init__(self, root, transform=None, target_transform=None,
-                 split="train", coarse_labels=True, check_sizes=False):
+                 split="train", coarse_labels=True, check_sizes=False,
+                 num_classes=None, tag=None):
         img_dir = os.path.join(root, "images", f"{split}2017")
         lbl_dir = os.path.join(root, "annotations", f"{split}2017")
         pairs = [
@@ -202,7 +205,8 @@ class VOCDataset(_SegDataset):
     NUM_CLASSES = 21
 
     def __init__(self, root, transform=None, target_transform=None,
-                 split="train", check_sizes=False):
+                 split="train", check_sizes=False,
+                 num_classes=None, tag=None):
         base = os.path.join(root, "VOCdevkit", "VOC2012")
         if not os.path.isdir(base):
             base = root
@@ -230,7 +234,8 @@ class KITTI360Dataset(_SegDataset):
     NUM_CLASSES = 19
 
     def __init__(self, root, transform=None, target_transform=None,
-                 split="train", split_file=None, seed=0):
+                 split="train", split_file=None, seed=0,
+                 num_classes=None, tag=None):
         img_glob = os.path.join(
             root, "data_2d_raw", "*", "image_00", "data_rect", "*.png"
         )
@@ -273,7 +278,8 @@ class KITTI360Dataset(_SegDataset):
 class DAVISFramesDataset(_SegDataset):
     """DAVIS 2017 per-frame dataset (evaluation/dataset/davis.py)."""
 
-    def __init__(self, root, transform=None, target_transform=None, split="val"):
+    def __init__(self, root, transform=None, target_transform=None, split="val",
+                 num_classes=None, tag=None):
         with open(os.path.join(root, "ImageSets", "2017", f"{split}.txt")) as f:
             videos = [l.strip() for l in f if l.strip()]
         pairs = []

@@ -113,3 +113,50 @@ def test_transforms_match_torchvision_semantics():
 
     got = _nearest_exact_resize_np(np.asarray(lbl), (24, 34))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dataset_config_nodes_instantiate_through_readers():
+    """Every dataset yaml node must instantiate through its reader with the
+    node's OWN keys (hydra semantics pass tag/num_classes straight to the
+    class — the reference readers accept and ignore them,
+    evaluation/dataset/ade20k.py:12-22). Regression: the first real-data
+    run ever attempted crashed with `unexpected keyword 'num_classes'`
+    because only synthetic loaders had exercised this path."""
+    import inspect
+
+    from naf_tpu.data import datasets as D
+
+    for cls in (D.ADE20KDataset, D.CityscapesDataset, D.COCOStuffDataset,
+                D.VOCDataset, D.KITTI360Dataset, D.DAVISFramesDataset,
+                D.ImageFolderDataset):
+        sig = inspect.signature(cls.__init__)
+        for key in ("num_classes", "tag"):
+            assert key in sig.parameters, (cls.__name__, key)
+
+    # full instantiate round-trip against the committed real shard
+    shard = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "benchmarks", "real_shard")
+    if not os.path.isdir(shard):
+        pytest.skip("real shard not built")
+    cfg = load_config(
+        "eval_probing",
+        ["dataset=ade20k", f"dataset.root={shard}/ade20k",
+         "dataset.num_classes=7", "img_size=64"],
+    )
+    ds = instantiate(
+        cfg["dataset"], split="val",
+        transform=lambda im: image_transform(im, 64),
+        target_transform=lambda lb: label_transform(lb, 64),
+    )
+    assert len(ds) == 9
+    sample = ds[0]
+    assert sample["image"].shape == (64, 64, 3)
+    assert sample["label"].shape == (64, 64)
+    assert 0 <= sample["label"].min() and sample["label"].max() < 7
+
+    cfg = load_config(
+        "eval_video_seg",
+        ["dataset.root=" + os.path.join(shard, "davis")],
+    )
+    ds = instantiate(cfg["dataset"], transform=None, target_transform=None)
+    assert len(ds) == 16  # 2 videos x 8 frames
