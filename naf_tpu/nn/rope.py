@@ -229,7 +229,11 @@ class RoPE(nn.Module):
             # degenerates to C-batched (kh, oh) x (oh, ow) einsums whose
             # minor-dim batching runs ~40 ms at 2048^2; the plain
             # rope -> pool-down path is one fused elementwise pass plus the
-            # rotate matmul (~15 ms) and is exact.
+            # rotate matmul and is exact. (A fused Pallas rope+pool kernel
+            # was tried in round 3 and measured SLOWER — 11.0 vs 6.6 ms at
+            # 2048^2/C256: the out-block revisits across the sequential
+            # column grid break x-tile pipelining, and the XLA path is
+            # already within ~2x of its HBM floor.)
             return adaptive_avg_pool2d(self(x), (kh, kw))
         ch, cw = _axis_coords(oh, ow, self.normalize_coords)
         nfreq = self.d_head // 4
