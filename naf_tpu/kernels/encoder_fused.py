@@ -59,6 +59,7 @@ def _kernel(
     bh: int,
     bw: int,
     activation: bool,
+    psum_cols: None,  # (col_shift, W): mask psums to valid interior columns
     diag: str = "",  # timing-only ablations ("nopsum"/"notaps")
 ):
     kk = kernel_size
@@ -135,6 +136,16 @@ def _kernel(
         ps_ref[0, 0, 0, 0, :] = y[0, 0]
         ps_ref[0, 0, 0, 1, :] = y[0, 0]
     else:
+        if psum_cols is not None:
+            # Column-shifted carry output: block 0's first `sc` columns and
+            # the extra last block's tail are outside the interior — exclude
+            # them from the GroupNorm stats (select, not multiply: the
+            # garbage may be NaN from uninitialized buffer reads).
+            sc, w_int = psum_cols
+            j = pl.program_id(2)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, bw, 1), 1)
+            gcol = j * bw + col
+            y = jnp.where((gcol >= sc) & (gcol < w_int + sc), y, 0.0)
         ps_ref[0, 0, 0, 0, :] = jnp.sum(y, axis=(0, 1))
         ps_ref[0, 0, 0, 1, :] = jnp.sum(y * y, axis=(0, 1))
 
@@ -359,12 +370,14 @@ def fused_encoder_applicable(x_shape, kernel_size: int, hidden: int) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_size", "activation", "interpret", "out_total_f",
-                     "out_ch_block", "_diag"),
+                     "out_ch_block", "in_layout", "out_padded",
+                     "out_col_shift", "_diag"),
 )
 def gn_silu_conv_fused(
     x, scale, shift, w, b, kernel_size: int, activation: bool = True,
     interpret: bool = False, out_total_f=None, out_ch_block: int = 0,
-    out_acc=None, _diag: str = "",
+    out_acc=None, in_layout=None, out_padded: bool = False,
+    out_col_shift: int = 0, _diag: str = "",
 ):
     """One fused encoder layer. x (B,H,W,C) -> (y (B,H,W,F), psums (B,2,F)).
 
@@ -377,15 +390,52 @@ def gn_silu_conv_fused(
     block out_ch_block; out_acc (same shape) is ALIASED in so two stacks'
     final layers share one buffer — the (H, W, 2F) pix|sem concatenation
     pass (2 GB of pure copy traffic at 2048^2) never happens.
-    """
-    bsz, h, wd, c = x.shape
+
+    Padded carry (k=3 chains): in_layout=(off_r, col_shift, H, W) declares
+    x as a carry buffer — rows interior at off_r with a reflect ring at
+    off_r-1/off_r+H, columns interior at col_shift with a ring at
+    col_shift-1/col_shift+W — so NO reflect-pad copy of the input happens
+    (~GB and 5.5 ms per layer at 2048^2; `_reflect_pad_fast` now runs ONCE
+    per stack, producing the stem carry via `_stem_carry_pad`).
+    out_padded=True + out_col_shift=s writes the output as the next carry.
+    Mosaic constraint shaping the scheme: Element windows take arbitrary
+    ROW offsets but ZERO column offset — so each layer's column interior
+    shifts LEFT by one (s_out = s_in - 1, final layer landing at 0 = plain
+    layout) which makes every read window start exactly at j*bw while
+    containing the taps at the same in-window positions as the plain path.
+    The price: one extra column block of garbage compute per row (masked
+    out of the psums in-kernel), bw/W of the layer.
+    Numerics identical: the rings hold exactly the reflect rows/cols the
+    kernel taps would have read from a padded copy."""
     kk = kernel_size
     f = w.shape[-1]
+    if in_layout is not None:
+        off_r, s_in, h, wd = in_layout
+        bsz, c = x.shape[0], x.shape[-1]
+        if kk != 3:
+            raise ValueError("in_layout is for k=3 layers only")
+        if out_padded and out_col_shift != s_in - 1:
+            raise ValueError("carry chain must decrement the column shift")
+    else:
+        bsz, h, wd, c = x.shape
     tiles = _pick_tiles(h, wd, c, f, kk, x.dtype.itemsize)
     if tiles is None:
-        raise ValueError(f"unsupported shape for fused encoder layer: {x.shape}")
+        raise ValueError(
+            f"unsupported shape for fused encoder layer: {(bsz, h, wd, c)}"
+        )
     bh, bw = tiles
     np_i, np_j = h // bh, wd // bw
+    if out_padded:
+        if kk != 3 or out_total_f or out_acc is not None:
+            raise ValueError("out_padded is for plain k=3 carry chains only")
+        if in_layout is None:
+            raise ValueError(
+                "out_padded requires a carry input (the extra column block "
+                "reads past a plain reflect-pad buffer)"
+            )
+        if not 1 <= out_col_shift <= bw:
+            raise ValueError("out_col_shift must be in [1, bw]")
+        np_j = -(-(wd + out_col_shift) // bw)  # extra garbage column block
 
     if kk == 3 and _diag == "blocked":
         # Timing-only ablation: regular Blocked specs, no halos (numerics
@@ -428,7 +478,17 @@ def gn_silu_conv_fused(
         # Element column blocks are 8-divisible (Mosaic's second-to-last
         # block dim rule). Const-pad + ring updates (_reflect_pad_fast):
         # 8.6 vs 13.9 ms for XLA's rev+concat reflect lowering at 2048^2.
-        xin = _reflect_pad_fast(x)
+        # A padded-carry input (in_layout) is already ring-padded: row
+        # windows start at off_r-1 (arbitrary row offsets are Mosaic-legal);
+        # column windows start exactly at j*bw (column offsets must be 0),
+        # which lands the taps at the same in-window columns as the plain
+        # path because the interior's column shift decrements per layer.
+        if in_layout is not None:
+            xin = x
+            ir = off_r - 1
+        else:
+            xin = _reflect_pad_fast(x)
+            ir = 0
         x_spec = pl.BlockSpec(
             (
                 pl.Element(1),
@@ -436,7 +496,7 @@ def gn_silu_conv_fused(
                 pl.Element(bw + 8),
                 pl.Element(c),
             ),
-            lambda bb, i, j: (bb, i * bh, j * bw, 0),
+            lambda bb, i, j: (bb, i * bh + ir, j * bw, 0),
             memory_space=pltpu.VMEM,
         )
     else:
@@ -457,14 +517,14 @@ def gn_silu_conv_fused(
     y, ps = pl.pallas_call(
         functools.partial(
             _kernel, kernel_size=kk, bh=bh, bw=bw, activation=activation,
-            diag=_diag,
+            psum_cols=(out_col_shift, wd) if out_padded else None, diag=_diag,
         )
         if out_acc is None
         else (
             lambda x_r, s_r, sh_r, w_r, b_r, _acc_r, y_r, ps_r, z_r: _kernel(
                 x_r, s_r, sh_r, w_r, b_r, y_r, ps_r, z_r,
                 kernel_size=kk, bh=bh, bw=bw, activation=activation,
-                diag=_diag,
+                psum_cols=None, diag=_diag,
             )
         ),
         grid=(bsz, np_i, np_j),
@@ -479,7 +539,9 @@ def gn_silu_conv_fused(
         out_specs=[
             pl.BlockSpec(
                 (1, bh, bw, f),
-                lambda bb, i, j: (bb, i, j, out_ch_block),
+                (lambda bb, i, j: (bb, i + 1, j, 0))
+                if out_padded
+                else (lambda bb, i, j: (bb, i, j, out_ch_block)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -488,7 +550,12 @@ def gn_silu_conv_fused(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, h, wd, out_total_f or f), x.dtype),
+            jax.ShapeDtypeStruct(
+                (bsz, h + bh + 2, np_j * bw + 8, f)
+                if out_padded
+                else (bsz, h, wd, out_total_f or f),
+                x.dtype,
+            ),
             jax.ShapeDtypeStruct((bsz, np_i, np_j, 2, f), jnp.float32),
         ],
         scratch_shapes=[
@@ -514,7 +581,66 @@ def gn_silu_conv_fused(
             + ([out_acc] if out_acc is not None else [])
         )
     )
+    if out_padded:
+        # Fill the reflect ring in place (rows first, then columns, so the
+        # corner elements pick up the already-reflected rows — same order as
+        # _reflect_pad_fast). Interior occupies rows [bh, bh+h), columns
+        # [out_col_shift, out_col_shift+wd).
+        orow, ocol = bh, out_col_shift
+        y = jax.lax.dynamic_update_slice(
+            y, y[:, orow + 1 : orow + 2], (0, orow - 1, 0, 0)
+        )
+        y = jax.lax.dynamic_update_slice(
+            y, y[:, orow + h - 2 : orow + h - 1], (0, orow + h, 0, 0)
+        )
+        y = jax.lax.dynamic_update_slice(
+            y, y[:, :, ocol + 1 : ocol + 2], (0, 0, ocol - 1, 0)
+        )
+        y = jax.lax.dynamic_update_slice(
+            y, y[:, :, ocol + wd - 2 : ocol + wd - 1], (0, 0, ocol + wd, 0)
+        )
+        # the matching in_layout for the next layer is carry_layout(...) —
+        # computed OUTSIDE this jitted function (a returned tuple would be
+        # traced into arrays and unusable as a static argument)
     return y, jnp.sum(ps, axis=(1, 2))
+
+
+def _stem_carry_pad(x, col_shift: int, bw: int):
+    """Const-pad + rings turning a plain (B,H,W,C) array into the chain's
+    initial carry buffer: rows interior at 1 with reflect ring rows 0/h+1;
+    columns interior at `col_shift` with reflect ring cols col_shift-1 and
+    w+col_shift; total cols w + bw + 8 (what a bw-tiled reader's shifted
+    windows can reach). Generalizes `_reflect_pad_fast`."""
+    b, h, w, c = x.shape
+    s = col_shift
+    y = jax.lax.pad(
+        x, jnp.asarray(0, x.dtype),
+        ((0, 0, 0), (1, 1, 0), (s, bw + 8 - s, 0), (0, 0, 0)),
+    )
+    y = jax.lax.dynamic_update_slice(y, y[:, 2:3], (0, 0, 0, 0))
+    y = jax.lax.dynamic_update_slice(y, y[:, h - 1 : h], (0, h + 1, 0, 0))
+    y = jax.lax.dynamic_update_slice(
+        y, y[:, :, s + 1 : s + 2], (0, 0, s - 1, 0)
+    )
+    y = jax.lax.dynamic_update_slice(
+        y, y[:, :, s + w - 2 : s + w - 1], (0, 0, s + w, 0)
+    )
+    return y
+
+
+def carry_layout(h: int, w: int, c: int, f: int, itemsize: int,
+                 col_shift: int, off_r: int = None):
+    """Static in_layout tuple (off_r, col_shift, H, W) describing a carry
+    buffer: rows interior at off_r (reflect ring at off_r-1 / off_r+H),
+    columns interior at col_shift (ring at col_shift-1 / col_shift+W).
+    off_r defaults to the writer layer's row tile (what out_padded wrote);
+    pass off_r=1 for the stem carry buffer (`_stem_carry_pad`)."""
+    if off_r is None:
+        tiles = _pick_tiles(h, w, c, f, 3, itemsize)
+        if tiles is None:
+            return None
+        off_r = tiles[0]
+    return (off_r, col_shift, h, w)
 
 
 def _gn_affine(psums, gamma, beta, hw: int, num_groups: int, eps: float):
@@ -675,6 +801,18 @@ def _stack_fwd_impl(params, x, hidden, kernel_size, ks_res, num_layers,
     )
     ps = _channel_sums(y)
     hw = h * wd
+    n_lay = num_layers * 2
+    tiles = (
+        _pick_tiles(h, wd, hidden, hidden, 3, x.dtype.itemsize)
+        if ks_res == 3
+        else None
+    )
+    carry = tiles is not None and n_lay <= tiles[1]  # col shift must fit bw
+    layout = None
+    if carry:
+        y = _stem_carry_pad(y, n_lay, tiles[1])
+        layout = (1, n_lay, h, wd)  # stem carry: rows interior at 1
+    li = 0
     for i in range(num_layers):
         blk = params[f"block{i}"]
         for norm_name, conv_name in (("norm1", "conv1"), ("norm2", "conv2")):
@@ -682,11 +820,20 @@ def _stack_fwd_impl(params, x, hidden, kernel_size, ks_res, num_layers,
                 ps, blk[norm_name]["scale"], blk[norm_name]["bias"],
                 hw, num_groups, eps,
             )
+            carry_out = carry and li < n_lay - 1
+            s_out = n_lay - 1 - li if carry_out else 0
             y, ps = gn_silu_conv_fused(
                 y, scale, shift,
                 blk[conv_name]["conv"]["kernel"], blk[conv_name]["conv"]["bias"],
                 kernel_size=ks_res, interpret=interpret,
+                in_layout=layout, out_padded=carry_out, out_col_shift=s_out,
             )
+            layout = (
+                carry_layout(h, wd, hidden, hidden, x.dtype.itemsize, s_out)
+                if carry_out
+                else None
+            )
+            li += 1
     return y
 
 
@@ -786,7 +933,8 @@ def _packed_fwd_impl(params_pix, params_sem, x, hidden, num_layers,
             params_pix, params_sem, x, hidden, num_layers, num_groups, eps,
             interpret,
         )
-    hw = x.shape[1] * x.shape[2]
+    hw_h, hw_w = x.shape[1], x.shape[2]
+    hw = hw_h * hw_w
     out = None
     for idx, (prm, ks) in enumerate(((params_pix, 1), (params_sem, 3))):
         y = _stem_conv_matmul(
@@ -795,6 +943,16 @@ def _packed_fwd_impl(params_pix, params_sem, x, hidden, num_layers,
         ps = _channel_sums(y)
         n_lay = num_layers * 2
         li = 0
+        tiles = (
+            _pick_tiles(hw_h, hw_w, hidden, hidden, 3, x.dtype.itemsize)
+            if ks == 3
+            else None
+        )
+        carry = tiles is not None and n_lay <= tiles[1]
+        layout = None
+        if carry:
+            y = _stem_carry_pad(y, n_lay, tiles[1])
+            layout = (1, n_lay, hw_h, hw_w)
         for i in range(num_layers):
             blk = prm[f"block{i}"]
             for norm_name, conv_name in (("norm1", "conv1"), ("norm2", "conv2")):
@@ -803,6 +961,8 @@ def _packed_fwd_impl(params_pix, params_sem, x, hidden, num_layers,
                     hw, num_groups, eps,
                 )
                 last = li == n_lay - 1
+                carry_out = carry and not last
+                s_out = n_lay - 1 - li if carry_out else 0
                 y, ps = gn_silu_conv_fused(
                     y, scale, shift,
                     blk[conv_name]["conv"]["kernel"],
@@ -811,6 +971,14 @@ def _packed_fwd_impl(params_pix, params_sem, x, hidden, num_layers,
                     out_total_f=2 * hidden if last else None,
                     out_ch_block=idx if last else 0,
                     out_acc=out if (last and idx == 1) else None,
+                    in_layout=layout, out_padded=carry_out,
+                    out_col_shift=s_out,
+                )
+                layout = (
+                    carry_layout(hw_h, hw_w, hidden, hidden,
+                                 x.dtype.itemsize, s_out)
+                    if carry_out
+                    else None
                 )
                 li += 1
         if idx == 0:
