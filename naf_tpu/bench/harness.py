@@ -143,19 +143,36 @@ def benchmark_model(
             params = jax.tree.map(lambda p, g: p - 1e-3 * g, params, grads[0])
             return params, head - 1e-3 * grads[1]
 
-        try:
-            c_bwd = jax.jit(train_step).lower(params, head, image, feats).compile()
-            result["bwd_ms"] = round(
-                device_time_ms(train_step, params, head, image, feats, iters=iters),
-                3,
-            )
-            result["bwd_mem_mb"] = _mem_mb(c_bwd)
-        except Exception as e:  # some baselines have no params to train
-            # include the exception type: a bare AssertionError stringifies
-            # to "" and becomes an invisible silent-null regression
-            result["bwd_error"] = f"{type(e).__name__}: {e}"[:200]
-            if _is_retryable(e):
-                result["bwd_retryable"] = True
+        for attempt in (0, 1):
+            try:
+                c_bwd = jax.jit(train_step).lower(
+                    params, head, image, feats
+                ).compile()
+                result["bwd_ms"] = round(
+                    device_time_ms(
+                        train_step, params, head, image, feats, iters=iters
+                    ),
+                    3,
+                )
+                result["bwd_mem_mb"] = _mem_mb(c_bwd)
+                result.pop("bwd_error", None)
+                result.pop("bwd_retryable", None)
+                break
+            except Exception as e:  # some baselines have no params to train
+                # include the exception type: a bare AssertionError
+                # stringifies to "" and becomes an invisible silent-null
+                # regression
+                result["bwd_error"] = f"{type(e).__name__}: {e}"[:200]
+                if _is_retryable(e) and attempt == 0:
+                    # transport/compile-service flake: retry the backward
+                    # once in-place instead of archiving the error
+                    print(f"  retryable backward error, re-running once: "
+                          f"{type(e).__name__}")
+                    jax.clear_caches()
+                    continue
+                if _is_retryable(e):
+                    result["bwd_retryable"] = True
+                break
     else:
         result["bwd_skip"] = "backward disabled for this run (--no-backward)"
     return result

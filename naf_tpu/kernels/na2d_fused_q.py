@@ -334,12 +334,26 @@ def _kernel(
                 else:
                     cos_r3 = rows_ref[pl.ds(o0, chunk_rows), :c_dim][:, None]
                     sin_r3 = rows_ref[pl.ds(o0, chunk_rows), c_dim:][:, None]
-                    # rotate-half via f32 lane rolls (Mosaic's rotate only
-                    # handles 32-bit lanes)
-                    x3f = x3.astype(jnp.float32)
-                    r1 = pltpu.roll(x3f, c_dim - dh2, 2)  # x[c + dh/2]
-                    r2 = pltpu.roll(x3f, dh2, 2)          # x[c - dh/2]
-                    rot = jnp.where(first_half, -r1, r2).astype(x3.dtype)
+                    # rotate-half via lane rolls. Mosaic's rotate only
+                    # handles 32-bit lanes; for bf16 the sublane-packed i32
+                    # VIEW (pltpu.bitcast packs the second-minor dim, lanes
+                    # unchanged) rolls channel PAIRS-of-rows as one word, so
+                    # a lane-roll of the view is bit-exactly the bf16
+                    # channel roll — no f32 widening pass per chunk.
+                    if x3.dtype == jnp.bfloat16:
+                        xi = pltpu.bitcast(x3, jnp.int32)
+                        r1 = pltpu.bitcast(
+                            pltpu.roll(xi, c_dim - dh2, 2), jnp.bfloat16
+                        )
+                        r2 = pltpu.bitcast(
+                            pltpu.roll(xi, dh2, 2), jnp.bfloat16
+                        )
+                        rot = jnp.where(first_half, -r1, r2)
+                    else:
+                        x3f = x3.astype(jnp.float32)
+                        r1 = pltpu.roll(x3f, c_dim - dh2, 2)  # x[c + dh/2]
+                        r2 = pltpu.roll(x3f, dh2, 2)          # x[c - dh/2]
+                        rot = jnp.where(first_half, -r1, r2).astype(x3.dtype)
                     q3 = x3 * (cos_r3 * cos_c3) + rot * (sin_r3 * sin_c3)
             else:
                 q3 = xup_ref[pl.ds(o0, chunk_rows)]  # ready-made queries
