@@ -60,6 +60,14 @@ def main(argv):
             cfg["dataset"]["root"],
             transform=lambda im: image_transform(im, dcfg.img_size),
         )
+        # Optional held-out validation folder (dataset.val_root); defaults to
+        # the training folder like the reference (denoising.py:350-355 uses
+        # get_dataloaders' val split of the same dataset).
+        val_root = cfg["dataset"].get("val_root")
+        val_ds = ImageFolderDataset(
+            val_root, transform=lambda im: image_transform(im, dcfg.img_size)
+        ) if val_root else ds
+
         def forever(loader):
             while True:
                 for b in loader:
@@ -71,7 +79,7 @@ def main(argv):
             drop_last=True,
         ))
         val_iter = forever(DataLoader(
-            ds, cfg["val_dataloader"]["batch_size"], shuffle=False,
+            val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False,
             num_workers=2, drop_last=True,
         ))
 
