@@ -303,13 +303,16 @@ def _kernel(
             pcol = col_pool_ref[...].astype(enc_ref.dtype)  # (bw, iwe)
             ctab = cols_t.astype(jnp.float32)  # (bw, 2C) = cos_c | sin_c
             for r in range(ih):
+                if diag == "nocolpool":  # timing ablation: skip the dots
+                    xc_ref[r] = jnp.zeros_like(xc_ref[r])
+                    continue
                 xc_ref[r] = jax.lax.dot_general(
                     pcol, enc_ref[0, tt, r],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 ) * ctab
-            for o in range(bh):
+            for o in range(0 if diag == "norowblend" else bh):
                 taps = row_taps[o]
                 acc = taps[0][1] * xc_ref[taps[0][0]]
                 for i, wgt in taps[1:]:
