@@ -36,11 +36,21 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/naf_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _timeit(fn, *args, iters=15):
-    """Per-call seconds via chained on-device loop (tunnel-safe, fold-safe)."""
+def _timeit(fn, *args, iters=15, chain="full"):
+    """Per-call seconds via chained on-device loop (tunnel-safe, fold-safe).
+
+    chain="scalar" is used for the forward metrics, whose outputs come
+    straight out of a Pallas kernel: XLA cannot slice through the opaque
+    custom call, so a single-element carry serializes iterations without the
+    full-output read the default chain pays (~4.3 ms/iter at 2048^2x384 —
+    a verification tax the reference's CUDA-event timing,
+    test/forward_speed.py:39-50, does not have). Hazard-checked in
+    naf_tpu/utils/benchmarking.py: on an XLA-native dot the scalar chain
+    undercounts 18x (5.8 -> 0.32 ms), on the kernel-terminated forward it
+    removes exactly the reduce cost (20.3 -> 16.0 ms at 448^2->2048^2)."""
     from naf_tpu.utils import device_time_ms
 
-    return device_time_ms(fn, *args, iters=iters) / 1e3
+    return device_time_ms(fn, *args, iters=iters, chain=chain) / 1e3
 
 
 def main():
@@ -62,7 +72,7 @@ def main():
     image = jnp.asarray(rng.randn(1, 448, 448, 3), dtype)
     feats = jnp.asarray(rng.randn(1, 28, 28, 384), dtype)
     f = lambda p, im, ft: fwd(p, im, ft, (448, 448))
-    t448 = _timeit(f, params, image, feats)
+    t448 = _timeit(f, params, image, feats, chain="scalar")
     results["fps_448"] = 1.0 / t448
 
     # Backward at the same config: 1x1 head + SGD step, the reference's
@@ -84,12 +94,12 @@ def main():
     image2 = jnp.asarray(rng.randn(1, 2048, 2048, 3), dtype)
     feats2 = jnp.asarray(rng.randn(1, 128, 128, 384), dtype)
     f2 = lambda p, im, ft: fwd(p, im, ft, (2048, 2048))
-    t2048 = _timeit(f2, params, image2, feats2, iters=6)
+    t2048 = _timeit(f2, params, image2, feats2, iters=6, chain="scalar")
     results["fps_2048"] = 1.0 / t2048
 
     # Upsampling regime: small image, 2K output (encoder cheap).
     f3 = lambda p, im, ft: fwd(p, im, ft, (2048, 2048))
-    t448to2048 = _timeit(f3, params, image, feats2, iters=6)
+    t448to2048 = _timeit(f3, params, image, feats2, iters=6, chain="scalar")
     results["fps_448to2048"] = 1.0 / t448to2048
 
     # Bare fused NA kernel at the default config. NOTE: this standalone

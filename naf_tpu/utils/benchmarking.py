@@ -80,6 +80,20 @@ def _make_loop(fn, n_iters, perturb, chain="full"):
     def loop(*args):
         def body(c, _):
             out = fn(*_perturbed_args(args, c, perturb))
+            leaf = jax.tree.leaves(out)[0]
+            if chain == "scalar":
+                # Single-element carry. SOUND ONLY when fn's output leaf is
+                # produced by an opaque custom call (a Pallas kernel): XLA
+                # cannot slice through a custom-call boundary, so the full
+                # kernel AND everything feeding it still execute, and Pallas
+                # always stores its whole output. For XLA-native terminals
+                # (dots/convs) this would let the simplifier slice the work
+                # away (dot(x,y)[0,0] -> dot(x[0],y[:,0])) — use "full".
+                # Motivation: the full reduce READS the entire output every
+                # iteration (~4.3 ms at 2048^2x384 bf16) — a verification
+                # tax the reference's CUDA-event timing
+                # (test/forward_speed.py:39-50) does not pay.
+                return leaf[(0,) * leaf.ndim].astype(jnp.float32), ()
             # Reduce over the FULL first output leaf: consuming only a
             # slice/element would let XLA slice through the computation
             # (dot(x,y)[0,0] -> dot(x[0,:], y[:,0])) and skip the work.
@@ -91,7 +105,6 @@ def _make_loop(fn, n_iters, perturb, chain="full"):
             # (A strided-checksum variant was tried for pallas-terminal fns
             # to cut the chain's read cost; measured SLOWER than the full
             # contiguous reduce — strided row reads defeat DMA streaming.)
-            leaf = jax.tree.leaves(out)[0]
             return jnp.sum(leaf, dtype=jnp.float32), ()
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
@@ -110,7 +123,10 @@ def device_time_ms(
     perturb: "all" (default; correct for end-to-end numbers) or "smallest"
     (cheaper for huge-operand kernels; hoists work not downstream of the
     smallest float leaf — see module docstring).
-    chain: "full" (the strided variant measured slower; kept for API compat).
+    chain: "full" (default; safe for any fn) or "scalar" (single-element
+    carry; ONLY for fns whose output comes straight out of a Pallas kernel —
+    see the in-body comment. Removes the full-output read the reference's
+    CUDA-event methodology does not pay).
     """
     loop_1 = _make_loop(fn, 1, perturb, chain)
     loop_n = _make_loop(fn, iters + 1, perturb, chain)

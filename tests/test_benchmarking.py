@@ -43,3 +43,13 @@ def test_device_time_ms_runs_and_is_positive():
     a = jnp.asarray(np.random.RandomState(1).randn(256, 256), jnp.float32)
     ms = device_time_ms(lambda x: x @ x, a, iters=3, repeats=1)
     assert ms >= 0.0
+
+
+def test_scalar_chain_runs_and_serializes_on_carry():
+    # chain="scalar" must produce a finite per-call time and thread the
+    # output element through the carry (serialization dependency exists).
+    a = jnp.asarray(np.random.RandomState(2).randn(128, 128), jnp.float32)
+    ms = device_time_ms(
+        lambda x: x + 1.0, a, iters=3, repeats=1, chain="scalar"
+    )
+    assert ms >= 0.0
