@@ -46,8 +46,8 @@ __all__ = ["gn_silu_conv_fused", "encoder_stack_fused", "fused_encoder_applicabl
 
 def _kernel(
     x_ref,  # k=3: (1, bh+2, bw+8, C) halo tile of padded input; k=1: (1, bh, bw, C)
-    scale_ref,  # (1, C) f32
-    shift_ref,  # (1, C) f32
+    scale_ref,  # (1, 1, C) f32 (leading 1 keeps the block legal at B > 1)
+    shift_ref,  # (1, 1, C) f32
     w_ref,  # (kh*kw, C, F) VMEM
     b_ref,  # (1, F) f32
     y_ref,  # (1, bh, bw, F) VMEM out
@@ -66,7 +66,7 @@ def _kernel(
 
     # 4-D block for k=1 / Element k=3; 6-D for the pre-sliced halo layout
     xt = x_ref[0] if x_ref.ndim == 4 else x_ref[0, 0, :, 0]
-    zf = xt.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+    zf = xt.astype(jnp.float32) * scale_ref[0, 0] + shift_ref[0, 0]
     if activation:
         zf = zf * jax.nn.sigmoid(zf)
 
@@ -153,8 +153,8 @@ def _kernel(
 def _dual_kernel(
     x_ref,      # (1, bh+2, bw+8, 2C) Element halo tile of the padded PACKED
     #             [pix|sem] input (reflect ring used by sem; pix reads interior)
-    scale_ref,  # (1, 2C) f32 — per-channel GN affine, [pix|sem]
-    shift_ref,  # (1, 2C) f32
+    scale_ref,  # (1, 1, 2C) f32 — per-channel GN affine, [pix|sem]
+    shift_ref,  # (1, 1, 2C) f32
     wp_ref,     # (1, C, C) pix 1x1 conv weight
     ws_ref,     # (9, C, C) sem 3x3 conv weights (tap-major dy*3+dx)
     bp_ref,     # (1, C) f32
@@ -175,7 +175,7 @@ def _dual_kernel(
     128 multiple, so every slice below is Mosaic-legal."""
     c = wp_ref.shape[-1]
     xt = x_ref[0]
-    zf = xt.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+    zf = xt.astype(jnp.float32) * scale_ref[0, 0] + shift_ref[0, 0]
     zf = zf * jax.nn.sigmoid(zf)
 
     prec = (
@@ -284,8 +284,12 @@ def gn_silu_conv_dual_fused(x, scale, shift, wp, ws, bp, bs,
     small = lambda shape: pl.BlockSpec(
         shape, lambda bb, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+    # GroupNorm is per-sample: scale/shift are (B, 1, C), indexed by batch.
+    # The middle singleton keeps the block's last-two dims (1, C) equal to
+    # the array's trailing extents — a (1, C) block over a (B, C) array is
+    # Mosaic-illegal for B > 1 (second-to-last block dim must be 8k or full).
     per_b = lambda ch: pl.BlockSpec(
-        (1, ch), lambda bb, i, j: (bb, 0), memory_space=pltpu.VMEM
+        (1, 1, ch), lambda bb, i, j: (bb, 0, 0), memory_space=pltpu.VMEM
     )
 
     y, ps = pl.pallas_call(
@@ -321,8 +325,8 @@ def gn_silu_conv_dual_fused(x, scale, shift, wp, ws, bp, bs,
         interpret=interpret,
     )(
         xin,
-        jnp.broadcast_to(scale, (bsz, c2)).astype(jnp.float32),
-        jnp.broadcast_to(shift, (bsz, c2)).astype(jnp.float32),
+        jnp.broadcast_to(jnp.atleast_2d(scale)[:, None, :], (bsz, 1, c2)).astype(jnp.float32),
+        jnp.broadcast_to(jnp.atleast_2d(shift)[:, None, :], (bsz, 1, c2)).astype(jnp.float32),
         wp.reshape(1, c, c),
         ws.reshape(9, c, c),
         bp.reshape(1, c).astype(jnp.float32),
@@ -509,9 +513,12 @@ def gn_silu_conv_fused(
     small = lambda shape: pl.BlockSpec(
         shape, lambda bb, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    # GroupNorm is per-sample: scale/shift are (B, C), indexed by batch.
+    # GroupNorm is per-sample: scale/shift are (B, 1, C), indexed by batch.
+    # The middle singleton keeps the block's last-two dims (1, C) equal to
+    # the array's trailing extents — a (1, C) block over a (B, C) array is
+    # Mosaic-illegal for B > 1 (second-to-last block dim must be 8k or full).
     per_b = lambda ch: pl.BlockSpec(
-        (1, ch), lambda bb, i, j: (bb, 0), memory_space=pltpu.VMEM
+        (1, 1, ch), lambda bb, i, j: (bb, 0, 0), memory_space=pltpu.VMEM
     )
 
     y, ps = pl.pallas_call(
@@ -573,8 +580,8 @@ def gn_silu_conv_fused(
         *(
             [
                 xin,
-                jnp.broadcast_to(scale, (bsz, c)).astype(jnp.float32),
-                jnp.broadcast_to(shift, (bsz, c)).astype(jnp.float32),
+                jnp.broadcast_to(jnp.atleast_2d(scale)[:, None, :], (bsz, 1, c)).astype(jnp.float32),
+                jnp.broadcast_to(jnp.atleast_2d(shift)[:, None, :], (bsz, 1, c)).astype(jnp.float32),
                 w.reshape(kk * kk, c, f),
                 b.reshape(1, f).astype(jnp.float32),
             ]

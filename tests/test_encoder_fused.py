@@ -205,3 +205,18 @@ def test_packed_dual_stack_gradients():
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_fused_stack_batch8_matches_flax():
+    """Regression: per-batch GN scale/shift blocks were (1, C) over (B, C),
+    which Mosaic rejects for B > 1 (hit by the denoising trainer at bs 8);
+    they now ride a (B, 1, C) layout legal at any batch."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(8, 16, 24, 3), jnp.float32)
+    enc = Encoder(128, kernel_size=3, ks_res=3, num_layers=1)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    want = enc.apply({"params": params}, x)
+    got = encoder_stack_fused(params, x, 128, 3, 3, 1, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
