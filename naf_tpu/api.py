@@ -48,7 +48,9 @@ def load_naf_params(
     """
     model = NAF(**model_kwargs)
     if checkpoint is not None:
-        params = naf_params_from_torch(checkpoint, img_layers=model.img_layers)
+        params = naf_params_from_torch(
+            checkpoint, img_layers=model.img_layers, rope_base=model.rope_base,
+        )
         params = jax.tree.map(jnp.asarray, params)
     else:
         rng = jax.random.PRNGKey(seed)

@@ -43,6 +43,16 @@ class ViTConfig:
     # DINOv3 family: rotary position embedding on q/k patch tokens per block
     # (no learned position embeddings). None disables.
     rope_theta: Optional[float] = None
+    # "rotate_half" (DINOv3: halves paired, [-x2, x1]) or "interleaved"
+    # (PE-Core/PE-Spatial: adjacent pairs as complex numbers, integer patch
+    # coordinates, x-angles in the first d/4 pairs, y-angles in the second —
+    # Meta perception_models core/vision_encoder/rope.py Rope2D semantics).
+    rope_style: str = "rotate_half"
+    # None = auto (learned positions iff no rope). PE uses BOTH a learned
+    # absolute position table and per-block Rope2D, so it sets True.
+    use_abs_pos: Optional[bool] = None
+    ln_pre: bool = False  # CLIP/PE: LayerNorm before the first block
+    patch_bias: bool = True  # CLIP/PE patchify conv has no bias
 
 
 def _prec(name):
@@ -70,10 +80,37 @@ def _rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def _rope_tables_pe(gh, gw, d_head, theta):
+    """PE Rope2D tables (perception_models core/vision_encoder/rope.py):
+    integer patch coordinates, freqs 1/theta^(4k/d) for k < d/4, angle vector
+    per token = [x*f_0..x*f_{d/4-1}, y*f_0..y*f_{d/4-1}] applied to adjacent
+    (2p, 2p+1) pairs as complex rotations. Returns (T, d/2) sin/cos."""
+    n = d_head // 4
+    freqs = 1.0 / (theta ** (4 * np.arange(n, dtype=np.float32) / d_head))
+    t = np.arange(gh * gw, dtype=np.float32)
+    t_x, t_y = t % gw, np.floor(t / gw)
+    angles = np.concatenate(
+        [t_x[:, None] * freqs[None, :], t_y[:, None] * freqs[None, :]], axis=1
+    )  # (T, d/2)
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def _apply_rope_interleaved(x, sin, cos):
+    """x (..., d) with adjacent pairs (2p, 2p+1) rotated by angles[p]."""
+    shape = x.shape
+    xp = x.reshape(*shape[:-1], shape[-1] // 2, 2)
+    even, odd = xp[..., 0], xp[..., 1]
+    out = jnp.stack(
+        [even * cos - odd * sin, even * sin + odd * cos], axis=-1
+    )
+    return out.reshape(shape)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
     precision: str = "highest"
+    rope_style: str = "rotate_half"
 
     @nn.compact
     def __call__(self, x, rope=None, n_prefix=0):
@@ -82,14 +119,17 @@ class Attention(nn.Module):
         prec = _prec(self.precision)
         qkv = nn.DenseGeneral((3, self.num_heads, d), precision=prec, name="qkv")(x)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if rope is not None:  # rotate patch tokens only (DINOv3)
-            sin, cos = rope  # (T_patch, d)
+        if rope is not None:  # rotate patch tokens only (prefix = identity)
+            sin, cos = rope  # (T_patch, d) rotate_half / (T_patch, d/2) PE
             sin = sin[None, :, None, :].astype(x.dtype)
             cos = cos[None, :, None, :].astype(x.dtype)
 
             def rot(a):
                 patch = a[:, n_prefix:]
-                patch = patch * cos + _rotate_half(patch) * sin
+                if self.rope_style == "interleaved":
+                    patch = _apply_rope_interleaved(patch, sin, cos)
+                else:
+                    patch = patch * cos + _rotate_half(patch) * sin
                 return jnp.concatenate([a[:, :n_prefix], patch], axis=1)
 
             q, k = rot(q), rot(k)
