@@ -23,6 +23,7 @@ __all__ = [
     "convert_radio",
     "convert_franca",
     "convert_capi",
+    "convert_pe",
     "vit_from_torch",
 ]
 
@@ -262,12 +263,83 @@ def convert_franca(state: Mapping, num_heads: int):
     return params, cfg, rasa
 
 
+def convert_pe(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
+    """Meta Perception Encoder (PE-Core / PE-Spatial) -> (params, config).
+
+    The reference lists `vit_pe_core_small_patch16_384.fb` and
+    `vit_pe_spatial_tiny_patch16_512.fb` (src/backbone/vit_wrapper.py:30-33);
+    released checkpoints keep the CLIP-lineage naming of
+    facebookresearch/perception_models (conv1 / class_embedding /
+    positional_embedding / ln_pre / transformer.resblocks.N.{ln_1, attn
+    in_proj, attn.out_proj, ln_2, mlp.c_fc, mlp.c_proj} / ln_post).
+    Architecture: bias-free patchify, pre-LN transformer, learned absolute
+    positions PLUS per-block interleaved Rope2D (theta 10000). PE-Core's
+    CLIP head (attn_pool / proj / logit_scale) is dropped — the wrapper
+    consumes spatial patch tokens only (vit_wrapper.py:139-180)."""
+    pe_w = _np(state["conv1.weight"])  # (C, 3, ps, ps), no bias
+    c, _, ps, _ = pe_w.shape
+    pos = _np(state["positional_embedding"])  # (1 + grid^2, C) incl. cls
+    depth = 1 + max(
+        int(k.split(".")[2]) for k in state
+        if k.startswith("transformer.resblocks.")
+    )
+    grid = int(math.isqrt(pos.shape[0] - 1))
+    fc1 = _np(state["transformer.resblocks.0.mlp.c_fc.weight"])
+    cfg = ViTConfig(
+        patch_size=ps,
+        embed_dim=c,
+        depth=depth,
+        num_heads=num_heads,
+        mlp_ratio=fc1.shape[0] / c,
+        layerscale="transformer.resblocks.0.ls_1.gamma" in state,
+        ln_eps=1e-5,
+        pos_grid=grid,
+        use_cls_pos=True,
+        rope_theta=10000.0,
+        rope_style="interleaved",
+        use_abs_pos=True,
+        ln_pre=True,
+        patch_bias=False,
+    )
+    params = {
+        "patch_embed": {"kernel": pe_w.transpose(2, 3, 1, 0)},
+        "pos_embed": pos[None],
+        "cls_token": _np(state["class_embedding"]).reshape(1, 1, c),
+        "norm_pre": _ln(state, "ln_pre"),
+        "norm": _ln(state, "ln_post"),
+    }
+    for i in range(depth):
+        p = f"transformer.resblocks.{i}"
+        blk = {
+            "norm1": _ln(state, f"{p}.ln_1"),
+            "attn": _attn_from_qkv(
+                _np(state[f"{p}.attn.in_proj_weight"]),
+                _np(state[f"{p}.attn.in_proj_bias"]),
+                _np(state[f"{p}.attn.out_proj.weight"]),
+                _np(state[f"{p}.attn.out_proj.bias"]),
+                num_heads,
+            ),
+            "norm2": _ln(state, f"{p}.ln_2"),
+            "fc1": {"kernel": _np(state[f"{p}.mlp.c_fc.weight"]).T,
+                    "bias": _np(state[f"{p}.mlp.c_fc.bias"])},
+            "fc2": {"kernel": _np(state[f"{p}.mlp.c_proj.weight"]).T,
+                    "bias": _np(state[f"{p}.mlp.c_proj.bias"])},
+        }
+        if cfg.layerscale:
+            blk["ls1"] = _np(state[f"{p}.ls_1.gamma"])
+            blk["ls2"] = _np(state[f"{p}.ls_2.gamma"])
+        params[f"block{i}"] = blk
+    return params, cfg
+
+
 def vit_from_torch(state: Mapping, num_heads: int) -> Tuple[dict, ViTConfig]:
     """Auto-detect the checkpoint family and convert."""
     if any(k.startswith("encoder.layer.") for k in state):
         return convert_hf_dinov2(state, num_heads)
     if any(k.startswith("layer.") and "attention.q_proj" in k for k in state):
         return convert_hf_dinov3(state, num_heads)
+    if any(k.startswith("transformer.resblocks.") for k in state):
+        return convert_pe(state, num_heads)
     if any(k.startswith("blocks.") for k in state):
         return convert_timm_vit(_canonicalize_trunk(dict(state)), num_heads)
     # wrapped trunks (RADIO-style nesting)

@@ -150,14 +150,16 @@ class Block(nn.Module):
     layerscale: bool
     ln_eps: float
     precision: str = "highest"
+    rope_style: str = "rotate_half"
 
     @nn.compact
     def __call__(self, x, rope=None, n_prefix=0):
         prec = _prec(self.precision)
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
-        h = Attention(self.dim, self.num_heads, self.precision, name="attn")(
-            h, rope=rope, n_prefix=n_prefix
-        )
+        h = Attention(
+            self.dim, self.num_heads, self.precision, self.rope_style,
+            name="attn",
+        )(h, rope=rope, n_prefix=n_prefix)
         if self.layerscale:
             h = h * self.param("ls1", nn.initializers.ones, (self.dim,))
         x = x + h
@@ -185,12 +187,17 @@ class ViT(nn.Module):
 
         x = nn.Conv(
             cfg.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID",
+            use_bias=cfg.patch_bias,
             precision=_prec(cfg.precision), name="patch_embed",
         )(x)
         x = x.reshape(b, gh * gw, cfg.embed_dim)
 
+        use_abs_pos = (
+            cfg.use_abs_pos if cfg.use_abs_pos is not None
+            else cfg.rope_theta is None
+        )
         cls_pos = None
-        if cfg.rope_theta is None:
+        if use_abs_pos:
             pos = self.param(
                 "pos_embed",
                 nn.initializers.normal(0.02),
@@ -222,17 +229,26 @@ class ViT(nn.Module):
         n_prefix = 1 + cfg.num_reg_tokens
         rope = None
         if cfg.rope_theta is not None:
-            ch = (np.arange(gh, dtype=np.float32) + 0.5) / gh
-            cw = (np.arange(gw, dtype=np.float32) + 0.5) / gw
-            coords = np.stack(np.meshgrid(ch, cw, indexing="ij"), -1).reshape(-1, 2)
-            coords = 2.0 * coords - 1.0
-            rope = _rope_tables(coords, cfg.embed_dim // cfg.num_heads,
-                                cfg.rope_theta)
+            if cfg.rope_style == "interleaved":  # PE Rope2D
+                rope = _rope_tables_pe(
+                    gh, gw, cfg.embed_dim // cfg.num_heads, cfg.rope_theta
+                )
+            else:
+                ch = (np.arange(gh, dtype=np.float32) + 0.5) / gh
+                cw = (np.arange(gw, dtype=np.float32) + 0.5) / gw
+                coords = np.stack(np.meshgrid(ch, cw, indexing="ij"), -1).reshape(-1, 2)
+                coords = 2.0 * coords - 1.0
+                rope = _rope_tables(coords, cfg.embed_dim // cfg.num_heads,
+                                    cfg.rope_theta)
+
+        if cfg.ln_pre:
+            x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm_pre")(x)
 
         for i in range(cfg.depth):
             x = Block(
                 cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
-                cfg.layerscale, cfg.ln_eps, cfg.precision, name=f"block{i}",
+                cfg.layerscale, cfg.ln_eps, cfg.precision, cfg.rope_style,
+                name=f"block{i}",
             )(x, rope=rope, n_prefix=n_prefix)
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)

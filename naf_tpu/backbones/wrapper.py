@@ -54,6 +54,20 @@ BACKBONE_REGISTRY = {
         input_size=512, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)
     ),
     "vit_large_patch16_224.mae": dict(input_size=224),
+    # Meta Perception Encoder (vit_wrapper.py:30-33): 0.5-normalization per
+    # perception_models' image transform
+    "vit_pe_core_small_patch16_384.fb": dict(
+        input_size=384, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)
+    ),
+    "vit_pe_core_tiny_patch16_384.fb": dict(
+        input_size=384, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)
+    ),
+    "vit_pe_spatial_tiny_patch16_512.fb": dict(
+        input_size=512, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)
+    ),
+    "vit_pe_spatial_small_patch16_512.fb": dict(
+        input_size=512, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)
+    ),
 }
 
 
@@ -155,6 +169,7 @@ class PretrainedViTWrapper:
         else:
             dim = _embed_dim_from_name(name)
             heads = num_heads or max(dim // 64, 1)
+            is_pe = "_pe_" in name or name.startswith("pe_")
             self.vit_config = ViTConfig(
                 patch_size=self.patch_size,
                 embed_dim=dim,
@@ -162,10 +177,19 @@ class PretrainedViTWrapper:
                 num_heads=heads,
                 pos_grid=self.config["input_size"][1] // self.patch_size,
                 precision=precision,
-                # DINOv3 family: rotary positions, 4 register tokens
-                rope_theta=100.0 if "dinov3" in name else None,
+                # DINOv3 family: rotary positions, 4 register tokens.
+                # PE: interleaved Rope2D + learned positions + pre-LN.
+                rope_theta=(
+                    10000.0 if is_pe else 100.0 if "dinov3" in name else None
+                ),
                 num_reg_tokens=4 if "dinov3" in name else 0,
                 use_cls_pos="dinov3" not in name,
+                rope_style="interleaved" if is_pe else "rotate_half",
+                use_abs_pos=True if is_pe else None,
+                ln_pre=is_pe,
+                patch_bias=not is_pe,
+                layerscale=not is_pe,
+                ln_eps=1e-5 if is_pe else 1e-6,
             )
             model = ViT(self.vit_config)
             # param shapes don't depend on input size (pos grid is config)

@@ -20,7 +20,59 @@ from naf_tpu.ops.adaptive_conv import adaptive_conv, reflect_pad2d
 from naf_tpu.ops.pool import adaptive_avg_pool2d
 from naf_tpu.ops.resize import resize_bicubic, resize_bilinear
 
-__all__ = ["JBULearnedRange", "JBUStack", "FeatUp", "JBU"]
+__all__ = [
+    "JBULearnedRange", "JBUStack", "FeatUp", "JBU", "featup_params_from_torch",
+]
+
+
+def _conv1x1(state, key):
+    """torch Conv2d 1x1 (O, I, 1, 1) -> flax Conv {kernel (1,1,I,O), bias}."""
+    w = np.asarray(state[f"{key}.weight"], np.float32)
+    return {
+        "kernel": w.transpose(2, 3, 1, 0),
+        "bias": np.asarray(state[f"{key}.bias"], np.float32),
+    }
+
+
+def featup_params_from_torch(state) -> dict:
+    """FeatUp hub checkpoint -> flax FeatUp params.
+
+    Mirrors the reference's load-time remap (utils/wrapper.py:22-28): keep
+    only the `upsampler.*` (JBUStack) and `model.1.norm.*` (ChannelNorm)
+    entries of `state["state_dict"]`, renaming `model.1.` -> `norm.`.
+    Module tree per src/model/featup.py: JBULearnedRange range_proj /
+    fixup_proj are Sequentials with convs at indices (0, 3); the stack-level
+    fixup_proj is Sequential(Dropout2d, Conv2d) -> index 1.
+    """
+    if "state_dict" in state:
+        state = state["state_dict"]
+    state = {
+        k.replace("model.1.", "norm."): (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+        for k, v in state.items()
+        if "upsampler" in k or "model.1.norm" in k
+    }
+    params = {
+        "norm": {"norm": {
+            "scale": np.asarray(state["norm.norm.weight"], np.float32),
+            "bias": np.asarray(state["norm.norm.bias"], np.float32),
+        }},
+        "upsampler": {
+            "fixup_proj": _conv1x1(state, "upsampler.fixup_proj.1"),
+        },
+    }
+    for up in ("up1", "up2", "up3", "up4"):
+        p = f"upsampler.{up}"
+        params["upsampler"][up] = {
+            "range_temp": np.asarray(state[f"{p}.range_temp"], np.float32),
+            "sigma_spatial": np.asarray(state[f"{p}.sigma_spatial"], np.float32),
+            "range_proj1": _conv1x1(state, f"{p}.range_proj.0"),
+            "range_proj2": _conv1x1(state, f"{p}.range_proj.3"),
+            "fixup_proj1": _conv1x1(state, f"{p}.fixup_proj.0"),
+            "fixup_proj2": _conv1x1(state, f"{p}.fixup_proj.3"),
+        }
+    return params
 
 
 class JBULearnedRange(nn.Module):

@@ -64,6 +64,7 @@ class ModelWrapper:
         embed_dim: int = 384,
         ratio: int = 16,
         ckpt_params=None,
+        ckpt_path: str | None = None,
         seed: int = 0,
         init_shapes=None,
     ):
@@ -72,8 +73,10 @@ class ModelWrapper:
         self.ratio = ratio
         self.model = build_model(name, embed_dim, ratio)
 
+        if ckpt_path is not None and ckpt_params is None:
+            ckpt_params = self._convert_checkpoint(ckpt_path)
         if ckpt_params is not None:
-            self.params = ckpt_params
+            self.params = jax.tree.map(jnp.asarray, ckpt_params)
         else:
             if init_shapes is None:
                 lr = 16
@@ -85,6 +88,25 @@ class ModelWrapper:
                 jax.random.PRNGKey(seed), img, feats, init_shapes[2]
             )
             self.params = variables.get("params", {})
+
+    def _convert_checkpoint(self, ckpt_path: str):
+        """Per-family torch-checkpoint conversion (reference ModelWrapper
+        loads FeatUp ckpts with the model.1.->norm. remap and other models
+        with load_state_dict(strict=False), utils/wrapper.py:18-28)."""
+        import torch
+
+        state = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        if self.name == "FeatUp":
+            from naf_tpu.models.featup import featup_params_from_torch
+
+            return featup_params_from_torch(state)
+        if self.name == "NAF":
+            from naf_tpu.convert import naf_params_from_torch
+
+            return naf_params_from_torch(state)
+        raise NotImplementedError(
+            f"no torch-checkpoint converter registered for {self.name}"
+        )
 
     def __call__(self, image, features, output_size):
         return self.model.apply(

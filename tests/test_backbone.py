@@ -228,3 +228,123 @@ def test_load_multiple_backbones_list_config():
     assert len(single) == 1
     with pytest.raises(ValueError):
         load_multiple_backbones({"name": ["a", "b"], "checkpoint": ["x"]})
+
+
+class _TorchPE(torch.nn.Module):
+    """Minimal torch reimplementation of Meta's Perception Encoder trunk
+    (perception_models core/vision_encoder: CLIP-lineage naming, bias-free
+    patchify, abs positions + per-block interleaved Rope2D theta=1e4,
+    pre-LN transformer). Used as an independent numerics/key-naming anchor —
+    timm and the PE package are absent in this environment."""
+
+    def __init__(self, dim=64, depth=2, heads=2, patch=16, grid=4):
+        super().__init__()
+        self.dim, self.heads, self.patch, self.grid = dim, heads, patch, grid
+        self.conv1 = torch.nn.Conv2d(3, dim, patch, patch, bias=False)
+        self.class_embedding = torch.nn.Parameter(torch.randn(dim) * 0.02)
+        self.positional_embedding = torch.nn.Parameter(
+            torch.randn(grid * grid + 1, dim) * 0.02
+        )
+        self.ln_pre = torch.nn.LayerNorm(dim, eps=1e-5)
+        blocks = []
+        for _ in range(depth):
+            blk = torch.nn.Module()
+            blk.ln_1 = torch.nn.LayerNorm(dim, eps=1e-5)
+            attn = torch.nn.Module()
+            attn.in_proj_weight = torch.nn.Parameter(torch.randn(3 * dim, dim) * 0.05)
+            attn.in_proj_bias = torch.nn.Parameter(torch.randn(3 * dim) * 0.02)
+            attn.out_proj = torch.nn.Linear(dim, dim)
+            blk.attn = attn
+            blk.ln_2 = torch.nn.LayerNorm(dim, eps=1e-5)
+            mlp = torch.nn.Module()
+            mlp.c_fc = torch.nn.Linear(dim, dim * 4)
+            mlp.c_proj = torch.nn.Linear(dim * 4, dim)
+            blk.mlp = mlp
+            blocks.append(blk)
+        self.transformer = torch.nn.Module()
+        self.transformer.resblocks = torch.nn.ModuleList(blocks)
+        self.ln_post = torch.nn.LayerNorm(dim, eps=1e-5)
+
+    def _rope(self, t, gh, gw):
+        """(B, nH, T, d) patch tokens -> rotated, PE Rope2D semantics."""
+        d = t.shape[-1]
+        n = d // 4
+        freqs = 1.0 / (10000.0 ** (4 * torch.arange(n).float() / d))
+        idx = torch.arange(gh * gw).float()
+        tx, ty = idx % gw, torch.div(idx, gw, rounding_mode="floor")
+        ang = torch.cat([tx[:, None] * freqs, ty[:, None] * freqs], dim=1)
+        cis = torch.polar(torch.ones_like(ang), ang)  # (T, d/2) complex
+        tc = torch.view_as_complex(t.reshape(*t.shape[:-1], d // 2, 2))
+        return torch.view_as_real(tc * cis[None, None]).reshape(t.shape)
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.conv1(x)  # (B, C, gh, gw)
+        gh, gw = x.shape[-2:]
+        x = x.flatten(2).transpose(1, 2)  # (B, T, C) row-major
+        cls = self.class_embedding[None, None].expand(b, 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding[None]
+        x = self.ln_pre(x)
+        d = self.dim // self.heads
+        for blk in self.transformer.resblocks:
+            h = blk.ln_1(x)
+            qkv = h @ blk.attn.in_proj_weight.T + blk.attn.in_proj_bias
+            q, k, v = qkv.chunk(3, dim=-1)
+
+            def split(a):
+                return a.reshape(b, -1, self.heads, d).transpose(1, 2)
+
+            q, k, v = split(q), split(k), split(v)
+            q = torch.cat([q[:, :, :1], self._rope(q[:, :, 1:], gh, gw)], dim=2)
+            k = torch.cat([k[:, :, :1], self._rope(k[:, :, 1:], gh, gw)], dim=2)
+            attn = torch.softmax(q @ k.transpose(-1, -2) * d ** -0.5, dim=-1)
+            o = (attn @ v).transpose(1, 2).reshape(b, -1, self.dim)
+            x = x + blk.attn.out_proj(o)
+            h = blk.ln_2(x)
+            x = x + blk.mlp.c_proj(
+                torch.nn.functional.gelu(blk.mlp.c_fc(h))
+            )
+        x = self.ln_post(x)
+        return x[:, 1:].reshape(b, gh, gw, self.dim)
+
+
+def test_vit_matches_pe_reference():
+    """PE-Core/PE-Spatial conversion + forward parity vs the torch anchor."""
+    from naf_tpu.backbones.convert import convert_pe
+
+    torch.manual_seed(5)
+    model = _TorchPE()
+    model.eval()
+    x = np.random.RandomState(6).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x)).numpy()
+
+    params, cfg = convert_pe(dict(model.state_dict()), num_heads=2)
+    assert cfg.rope_style == "interleaved" and cfg.rope_theta == 10000.0
+    assert cfg.ln_pre and not cfg.patch_bias and cfg.use_abs_pos
+    got = ViT(cfg).apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
+
+    # auto-detection routes resblocks-naming to convert_pe
+    from naf_tpu.backbones.convert import vit_from_torch
+
+    params2, cfg2 = vit_from_torch(dict(model.state_dict()), num_heads=2)
+    assert cfg2 == cfg
+
+
+def test_pe_wrapper_registry_contract():
+    """vit_wrapper.py:30-33 PE names: NCHW-contract feature maps, 0.5 norm."""
+    from naf_tpu.backbones import PretrainedViTWrapper
+
+    w = PretrainedViTWrapper("vit_pe_core_small_patch16_384.fb", num_heads=6)
+    assert w.patch_size == 16 and w.embed_dim == 384
+    assert w.config["mean"] == (0.5, 0.5, 0.5)
+    feats = w(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert feats.shape == (1, 4, 4, 384)
+
+    w2 = PretrainedViTWrapper("vit_pe_spatial_tiny_patch16_512.fb", num_heads=3)
+    assert w2.embed_dim == 192 and w2.config["input_size"] == (3, 512, 512)
+    feats2 = w2(jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert feats2.shape == (1, 2, 2, 192)

@@ -126,3 +126,65 @@ def test_jbf_matches_torch_reference_formula():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-5
     )
+
+
+def test_featup_checkpoint_key_remap():
+    """FeatUp hub-checkpoint conversion (reference utils/wrapper.py:22-28:
+    keep upsampler.* / model.1.norm.*, rename model.1. -> norm.). The torch
+    source tree is the actual reference FeatUp module (AdaptiveConv CUDA
+    import stubbed), so the key naming is the released one verbatim."""
+    import sys
+    import types
+
+    import torch
+
+    for mod in ("extension", "extension.featup", "extension.featup.adaptive_conv_cuda",
+                "extension.featup.adaptive_conv_cuda.adaptive_conv"):
+        m = types.ModuleType(mod)
+        if mod.endswith("adaptive_conv"):
+            m.AdaptiveConv = object
+        sys.modules.setdefault(mod, m)
+    sys.modules["extension.featup.adaptive_conv_cuda.adaptive_conv"].AdaptiveConv = object
+    if "natten" not in sys.modules:  # src.model.__init__ pulls in naf -> natten
+        nat = types.ModuleType("natten")
+        natf = types.ModuleType("natten.functional")
+        natf.na2d_qk = natf.na2d_av = lambda *a, **k: None
+        nat.functional = natf
+        sys.modules["natten"] = nat
+        sys.modules["natten.functional"] = natf
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_featup_mod", "/root/reference/src/model/featup.py"
+    )
+    # src.model.base import inside the file
+    sys.path.insert(0, "/root/reference")
+    try:
+        ref_featup = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_featup)
+        torch.manual_seed(0)
+        ref = ref_featup.FeatUp(feature_dim=32, ratio=16)
+        sd = ref.state_dict()
+    finally:
+        sys.path.remove("/root/reference")
+
+    # hub layout: ChannelNorm lives at model.1 inside the trained wrapper
+    hub = {"state_dict": {}}
+    for k, v in sd.items():
+        hub["state_dict"]["model.1." + k[len("norm."):] if k.startswith("norm.") else k] = v
+    hub["state_dict"]["model.0.backbone.ignored"] = torch.zeros(1)  # dropped
+
+    from naf_tpu.models.featup import featup_params_from_torch
+    from naf_tpu.models.registry import ModelWrapper
+
+    params = featup_params_from_torch(hub)
+    w = ModelWrapper("FeatUp", embed_dim=32, ratio=16,
+                     init_shapes=((1, 32, 32, 3), (1, 2, 2, 32), (32, 32)))
+    ref_shapes = jax.tree.map(lambda a: a.shape, w.params)
+    got_shapes = jax.tree.map(lambda a: a.shape, params)
+    assert ref_shapes == got_shapes
+
+    w2 = ModelWrapper("FeatUp", embed_dim=32, ratio=16, ckpt_params=params)
+    out = w2(jnp.zeros((1, 32, 32, 3)), jnp.ones((1, 2, 2, 32)), (32, 32))
+    assert out.shape == (1, 32, 32, 32)
+    assert bool(jnp.isfinite(out).all())
