@@ -69,7 +69,10 @@ def dataset_loader(cfg, split):
         yield batch["image"], batch["label"]
 
 
-def main(argv):
+def main(argv, model_params=None):
+    """`model_params`: optionally inject trained flax params directly (the
+    self-distillation quality loop, tools/train_distilled_eval.py); else
+    params come from eval.model_ckpt (torch format) or random init."""
     overrides = [a for a in argv if "=" in a]
     cfg = load_config("eval_probing", overrides)
     synthetic = bool(cfg.get("synthetic", False))
@@ -79,13 +82,16 @@ def main(argv):
         cfg["backbone"]["name"], checkpoint=cfg["backbone"].get("checkpoint")
     )
     model = instantiate(cfg["model"])
-    # upsampler params: converted checkpoint or random init
+    # upsampler params: injected, converted checkpoint, or random init
     size = cfg["img_size"]
-    dummy_img = jnp.zeros((1, size, size, 3), jnp.float32)
-    gh = size // backbone.patch_size
-    dummy_feat = jnp.zeros((1, gh, gh, backbone.embed_dim), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy_img, dummy_feat, (size, size))
-    model_params = variables.get("params", {})
+    if model_params is None:
+        dummy_img = jnp.zeros((1, size, size, 3), jnp.float32)
+        gh = size // backbone.patch_size
+        dummy_feat = jnp.zeros((1, gh, gh, backbone.embed_dim), jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), dummy_img, dummy_feat, (size, size)
+        )
+        model_params = variables.get("params", {})
     if cfg["eval"].get("model_ckpt"):
         from naf_tpu.convert import naf_params_from_torch
 

@@ -144,14 +144,29 @@ def fused_applicable(hq, wq, hk, wk, kernel: int, n=4, d=64, dv=64, itemsize=4):
     return pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize) is not None
 
 
-def _bwd_chunk_rows(r_h: int, bh: int, bw: int, nc: int) -> int:
-    """chunk_rows used by _fused_bwd_impl for a candidate block (shared so
-    the picker's VMEM model matches the kernel's actual live buffers)."""
-    budget_rows = max((1_000_000 // 4) // max(nc * bw, 1), 1)
-    chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
-    while bh % chunk_rows:
-        chunk_rows -= r_h
-    return chunk_rows
+def _bwd_chunk_rows(bh: int, bw: int, nc: int, n: int, d: int, dv: int,
+                    itemsize: int, vmem_budget: int):
+    """Largest chunk_rows (a divisor of bh, preferring multiples of 8 for
+    sublane alignment) whose VMEM footprint fits. Row chunks are a GRID
+    dimension of the backward kernel: q/do/dq blocks shrink to the chunk
+    while the dk/dv tile-grad out blocks are revisited and accumulated
+    across chunk steps. Returns (chunk_rows, fits)."""
+    ncl = _pad128(nc)
+    divisors = sorted(
+        {c for c in range(1, bh + 1) if bh % c == 0},
+        key=lambda c: (c % 8 != 0, -c),
+    )
+    for chunk in divisors:
+        cq = chunk * bw
+        # q/do in + dq out chunk blocks (double-buffered across grid steps)
+        big_bytes = 2 * n * cq * (2 * d + dv) * itemsize
+        # k/v tiles (double-buffered) + resident f32 dk/dv tile grads
+        tile_bytes = 2 * n * nc * (d + dv) * itemsize + n * nc * (d + dv) * 4
+        # one head's live f32 chain: logits, p, dp, dl (+ temps)
+        live_bytes = 5 * cq * ncl * 4
+        if big_bytes + tile_bytes + live_bytes <= vmem_budget:
+            return chunk, True
+    return 1, False
 
 
 @functools.lru_cache(maxsize=512)
@@ -159,13 +174,16 @@ def pick_cell_blocks_bwd(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
                          vmem_budget=11 * 2 ** 20):
     """Block picker for the recompute-P backward kernel (_bwd_kernel).
 
-    The forward picker's VMEM model badly over-counts the backward: the
-    backward has no block-diagonal K expansion (per-head (nc, d) tiles), it
-    processes heads SEQUENTIALLY (one head's f32 temporaries live at a
-    time), and its logits lanes are nc (ceil-128) rather than g*nc_pad.
-    Using the forward model with a tight proxy budget rejected every block
-    at dv >= 192 or ratio 32 and silently routed training to the XLA-oracle
-    VJP (667 / 2650 ms where the kernel path runs in tens of ms)."""
+    Returns (bc_h, bc_w, chunk_rows) or None. The forward picker's VMEM
+    model badly over-counts the backward: the backward has no
+    block-diagonal K expansion (per-head (nc, d) tiles), it processes heads
+    SEQUENTIALLY (one head's f32 temporaries live at a time), and its
+    logits lanes are nc (ceil-128) rather than g*nc_pad. Using the forward
+    model with a tight proxy budget rejected every block at dv >= 192 or
+    ratio 32 and silently routed training to the XLA-oracle VJP (667 /
+    2650 ms where the kernel path runs in tens of ms). Row-chunking as a
+    grid dimension keeps even one-cell f32 ratio-32 blocks (4 MB+ of
+    queries per cell) inside VMEM."""
     cands_h = _valid_bcs(r_h, hk, kernel)
     cands_w = _valid_bcs(r_w, wk, kernel)
     if not cands_h or not cands_w:
@@ -180,32 +198,30 @@ def pick_cell_blocks_bwd(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
             bh, bw = bc_h * r_h, bc_w * r_w
             nc = (bc_h + kernel - 1) * (bc_w + kernel - 1)
             ncl = _pad128(nc)  # vreg lane padding of the (cq, nc) temps
-            chunk_rows = _bwd_chunk_rows(r_h, bh, bw, nc)
-            cq = chunk_rows * bw
-            # double-buffered in/out blocks: q/do/dq head-major big arrays +
-            # k/v tiles (io dtype) + dk/dv tile grads (f32)
-            big_bytes = n * bh * bw * (2 * d + 2 * dv) * itemsize
-            tile_bytes = n * nc * (d + dv) * itemsize + n * nc * (d + dv) * 4
-            # one head's live f32 chain: logits, p, dp, dl (+ dq/dk/dv temps)
-            live_bytes = 5 * cq * ncl * 4
-            if 2 * (big_bytes + tile_bytes) + live_bytes > vmem_budget:
+            chunk_rows, fits = _bwd_chunk_rows(
+                bh, bw, nc, n, d, dv, itemsize, vmem_budget
+            )
+            if not fits:
                 continue
-            programs = -(-hk // bc_h) * -(-wk // bc_w)
-            cqt = bh * bw  # queries per program (all chunks)
+            n_chunks = bh // chunk_rows
+            programs = -(-hk // bc_h) * -(-wk // bc_w) * n_chunks
+            cqt = bh * bw  # queries per (cell block) across its chunks
             flops = n * 2 * cqt * ncl * (3 * d + 2 * dv)  # QK,dP,dQ,dK,dV
             softmax_ops = 14 * n * cqt * ncl
             bytes_moved = (
                 n * bh * bw * (2 * d + 2 * dv) * itemsize
                 + n * nc * (d + dv) * (itemsize + 4)
             )
-            cost = programs * (
-                overhead_s
-                + bytes_moved / hbm_bps
-                + flops / mxu_flops
-                + softmax_ops / vpu_ops
+            cost = (
+                programs * overhead_s
+                + -(-hk // bc_h) * -(-wk // bc_w) * (
+                    bytes_moved / hbm_bps
+                    + flops / mxu_flops
+                    + softmax_ops / vpu_ops
+                )
             )
             if best_cost is None or cost < best_cost:
-                best, best_cost = (bc_h, bc_w), cost
+                best, best_cost = (bc_h, bc_w, chunk_rows), cost
     return best
 
 
@@ -529,12 +545,12 @@ _fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
 
 
 def _bwd_kernel(
-    q_ref,  # (1, n, BH, BW, d) VMEM, head-major
+    q_ref,  # (1, n, CHUNK, BW, d) VMEM, head-major row chunk
     k_ref,  # (1, 1, 1, n, Nc, d) VMEM union tile
     v_ref,  # (1, 1, 1, n, Nc, dv) VMEM union tile
-    do_ref,  # (1, n, BH, BW, dv) VMEM, head-major dL/dout
-    dq_ref,  # (1, n, BH, BW, d) VMEM out
-    dk_ref,  # (1, 1, 1, n, Nc, d) VMEM out (per-block tile grad)
+    do_ref,  # (1, n, CHUNK, BW, dv) VMEM, head-major dL/dout chunk
+    dq_ref,  # (1, n, CHUNK, BW, d) VMEM out
+    dk_ref,  # (1, 1, 1, n, Nc, d) VMEM out (per-block tile grad, f32)
     dv_ref,  # (1, 1, 1, n, Nc, dv) VMEM out
     *,
     kernel_size: int,
@@ -555,24 +571,28 @@ def _bwd_kernel(
       dP = dO @ V^T; delta = rowsum(P * dP); dlogits = P * (dP - delta)
       dQ = scale * dlogits @ K;  dK_tile += scale * dlogits^T @ Q;
       dV_tile += P^T @ dO.
-    Tile grads are scatter-added into the LR grid outside the kernel.
-    Padded query rows/cols (cdiv grids) are zeroed out of P/dP so they
-    cannot pollute the dK/dV reductions."""
+    Row chunks are grid dimension 3 (innermost): the q/do/dq blocks cover
+    one chunk while the dk/dv out blocks revisit the same (cell-block)
+    index across chunk steps, accumulating in VMEM and flushing to HBM only
+    when the cell block changes — this keeps one-cell f32 ratio-32 blocks
+    (whose full q tile alone is 4 MB+) inside the VMEM budget. Tile grads
+    are scatter-added into the LR grid outside the kernel. Padded query
+    rows/cols (cdiv grids) are zeroed out of P/dP so they cannot pollute
+    the dK/dV reductions."""
     kk = kernel_size
     nh = kk // 2
     kb_h = bc_h + kk - 1
     kb_w = bc_w + kk - 1
     ci0 = pl.program_id(1) * bc_h
     cj0 = pl.program_id(2) * bc_w
+    chunk_i = pl.program_id(3)
     row0 = jnp.clip(ci0 - nh, 0, hk - kb_h)
     col0 = jnp.clip(cj0 - nh, 0, wk - kb_w)
 
-    bh = bc_h * r_h
     bw = bc_w * r_w
     d = q_ref.shape[-1]
     dv_dim = v_ref.shape[-1]
     nc = kb_h * kb_w
-    n_chunks = bh // chunk_rows
     cq = chunk_rows * bw
 
     prec_f32 = (
@@ -592,81 +612,74 @@ def _bwd_kernel(
     ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)
     col_valid = (cj0 * r_w + j_loc) < wq
 
-    for h in range(num_heads):
-        dk_ref[0, 0, 0, h] = jnp.zeros((nc, d), dk_ref.dtype)
-        dv_ref[0, 0, 0, h] = jnp.zeros((nc, dv_dim), dv_ref.dtype)
-
-    def body(c, _):
-        row_start = c * chunk_rows
-        cell_h = ci0 + c * (chunk_rows // r_h) + i_loc // r_h
-        ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
-        ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
-        bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
-        row_valid = (ci0 * r_h + row_start + i_loc) < hq
-        valid = row_valid & col_valid
-        # per-query validity as a (cq, 1) column for zeroing matmul operands
-        # (0 * NaN = NaN: padded rows must be zeroed BEFORE contractions)
-        valid_q = valid[:, :1]
-
+    @pl.when(chunk_i == 0)
+    def _init():
         for h in range(num_heads):
-            k_mat = k_ref[0, 0, 0, h]
-            v_mat = v_ref[0, 0, 0, h]
-            q_mat = q_ref[0, h, pl.ds(row_start, chunk_rows), :, :].reshape(cq, d)
-            do_mat = do_ref[0, h, pl.ds(row_start, chunk_rows), :, :].reshape(
-                cq, dv_dim
-            )
-            q_mat = jnp.where(valid_q, q_mat, 0)
-            do_mat = jnp.where(valid_q, do_mat, 0)
-            logits = jax.lax.dot_general(
-                q_mat, k_mat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec_f32,
-            ) * scale + bias
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            # where (not multiply): padded queries may hold NaN/Inf garbage
-            p = jnp.where(valid, p, 0.0)
+            dk_ref[0, 0, 0, h] = jnp.zeros((nc, d), dk_ref.dtype)
+            dv_ref[0, 0, 0, h] = jnp.zeros((nc, dv_dim), dv_ref.dtype)
 
-            dp = jax.lax.dot_general(
-                do_mat, v_mat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec_f32,
-            )
-            dp = jnp.where(valid, dp, 0.0)  # padded-row dO may be NaN
-            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-            dl = p * (dp - delta)  # (cq, nc) f32
+    row_start = chunk_i * chunk_rows
+    glob_row = ci0 * r_h + row_start + i_loc
+    ws_h = jnp.clip(glob_row // r_h - nh, 0, hk - kk) - row0
+    ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
+    bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
+    valid = (glob_row < hq) & col_valid
+    # per-query validity as a (cq, 1) column for zeroing matmul operands
+    # (0 * NaN = NaN: padded rows must be zeroed BEFORE contractions)
+    valid_q = valid[:, :1]
 
-            dq = jax.lax.dot_general(
-                dl.astype(k_mat.dtype), k_mat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec_f32,
-            ) * scale
-            dq_ref[0, h, pl.ds(row_start, chunk_rows), :, :] = dq.reshape(
-                chunk_rows, bw, d
-            ).astype(dq_ref.dtype)
+    for h in range(num_heads):
+        k_mat = k_ref[0, 0, 0, h]
+        v_mat = v_ref[0, 0, 0, h]
+        q_mat = q_ref[0, h].reshape(cq, d)
+        do_mat = do_ref[0, h].reshape(cq, dv_dim)
+        q_mat = jnp.where(valid_q, q_mat, 0)
+        do_mat = jnp.where(valid_q, do_mat, 0)
+        logits = jax.lax.dot_general(
+            q_mat, k_mat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec_f32,
+        ) * scale + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # where (not multiply): padded queries may hold NaN/Inf garbage
+        p = jnp.where(valid, p, 0.0)
 
-            dk = jax.lax.dot_general(
-                dl.astype(q_mat.dtype), q_mat,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec_f32,
-            ) * scale  # (nc, d)
-            dk_ref[0, 0, 0, h] = dk_ref[0, 0, 0, h] + dk.astype(dk_ref.dtype)
+        dp = jax.lax.dot_general(
+            do_mat, v_mat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec_f32,
+        )
+        dp = jnp.where(valid, dp, 0.0)  # padded-row dO may be NaN
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        dl = p * (dp - delta)  # (cq, nc) f32
 
-            dvt = jax.lax.dot_general(
-                p.astype(do_mat.dtype), do_mat,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec_f32,
-            )  # (nc, dv)
-            dv_ref[0, 0, 0, h] = dv_ref[0, 0, 0, h] + dvt.astype(dv_ref.dtype)
-        return _
+        dq = jax.lax.dot_general(
+            dl.astype(k_mat.dtype), k_mat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec_f32,
+        ) * scale
+        dq_ref[0, h] = dq.reshape(chunk_rows, bw, d).astype(dq_ref.dtype)
 
-    jax.lax.fori_loop(0, n_chunks, body, None)
+        dk = jax.lax.dot_general(
+            dl.astype(q_mat.dtype), q_mat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec_f32,
+        ) * scale  # (nc, d)
+        dk_ref[0, 0, 0, h] = dk_ref[0, 0, 0, h] + dk.astype(dk_ref.dtype)
+
+        dvt = jax.lax.dot_general(
+            p.astype(do_mat.dtype), do_mat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec_f32,
+        )  # (nc, dv)
+        dv_ref[0, 0, 0, h] = dv_ref[0, 0, 0, h] + dvt.astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -681,15 +694,14 @@ def _fused_bwd_impl(q, k, v, g, kernel_size: int, scale, interpret=False):
     blocks = pick_cell_blocks_bwd(r_h, r_w, hk, wk, kk, n, d, dv, itemsize)
     if blocks is None:
         raise ValueError("shapes not supported by fused kernel; use the xla path")
-    bc_h, bc_w = blocks
+    bc_h, bc_w, chunk_rows = blocks
     bh, bw = bc_h * r_h, bc_w * r_w
     n_ch = pl.cdiv(hk, bc_h)
     n_cw = pl.cdiv(wk, bc_w)
     kb_h = bc_h + kk - 1
     kb_w = bc_w + kk - 1
     nc = kb_h * kb_w
-
-    chunk_rows = _bwd_chunk_rows(r_h, bh, bw, nc)
+    n_chunks = bh // chunk_rows
 
     k_tiles = _gather_union_tiles(k.reshape(b, hk, wk, n * d), bc_h, bc_w, kk)
     v_tiles = _gather_union_tiles(v.reshape(b, hk, wk, n * dv), bc_h, bc_w, kk)
@@ -699,15 +711,17 @@ def _fused_bwd_impl(q, k, v, g, kernel_size: int, scale, interpret=False):
     q_hm = jnp.transpose(q, (0, 3, 1, 2, 4))
     g_hm = jnp.transpose(g, (0, 3, 1, 2, 4))
 
-    grid = (b, n_ch, n_cw)
+    # chunk index innermost: dk/dv out blocks revisit the same (b, ii, jj)
+    # block across cc steps, accumulating in VMEM (flushed on block change)
+    grid = (b, n_ch, n_cw, n_chunks)
     tile_spec = lambda ch: pl.BlockSpec(
         (1, 1, 1, n, nc, ch),
-        lambda bb, ii, jj: (bb, ii, jj, 0, 0, 0),
+        lambda bb, ii, jj, cc: (bb, ii, jj, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     big_spec = lambda ch: pl.BlockSpec(
-        (1, n, bh, bw, ch),
-        lambda bb, ii, jj: (bb, 0, ii, jj, 0),
+        (1, n, chunk_rows, bw, ch),
+        lambda bb, ii, jj, cc: (bb, 0, ii * n_chunks + cc, jj, 0),
         memory_space=pltpu.VMEM,
     )
 

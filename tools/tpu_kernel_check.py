@@ -3,13 +3,22 @@
 Data is generated on device (host<->TPU transfers go through the axon tunnel
 here and must stay small); large-size checks pull back only sampled rows.
 
+Writes benchmarks/tpu_kernel_check.json so the fused-path numerics on real
+hardware are a committed per-round artifact, not a transient claim.
+
 Usage: python tools/tpu_kernel_check.py
 """
 
+import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+RESULTS = {}
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "benchmarks", "tpu_kernel_check.json")
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +44,35 @@ def check_small(hq, wq, hk, wk, n=2, d=16, dv=24, kk=9, tol=1e-4, seed=0):
     want = cross_scale_na2d(q, k, v, kk)
     err = float(jnp.abs(got - want).max())
     print(f"hq={hq} wq={wq} hk={hk} wk={wk} k={kk}: max err {err:.2e}")
+    RESULTS[f"fwd_small_{hq}x{wq}_{hk}x{wk}_k{kk}"] = {"max_err": err}
     assert err < tol, err
+
+
+def check_bwd(hq, hk, n, d, dv, kk, dtype, tol, seed=0):
+    """Chunk-grid Pallas backward vs the XLA-oracle VJP (f32 truth for
+    bf16: the kernel's f32 dK/dV accumulators are closer to truth than the
+    oracle's own bf16 einsum VJP, so comparisons run against f32 grads)."""
+    q, k, v = make_qkv(hq, hq, hk, hk, n, d, dv, dtype=jnp.float32, seed=seed)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(cross_scale_na2d_fused(q, k, v, kk) ** 2)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(cross_scale_na2d(q, k, v, kk) ** 2)
+
+    truth = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    qd, kd, vd = (x.astype(dtype) for x in (q, k, v))
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(qd, kd, vd)
+    errs = [
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - t))
+              / (1e-6 + float(jnp.max(jnp.abs(t)))))
+        for a, t in zip(got, truth)
+    ]
+    name = f"bwd_{hq}_{hk}_dv{dv}_{jnp.dtype(dtype).name}"
+    print(f"{name}: rel errs dq/dk/dv {[round(e, 5) for e in errs]}")
+    RESULTS[name] = {"rel_err_dq": errs[0], "rel_err_dk": errs[1],
+                     "rel_err_dv": errs[2]}
+    assert max(errs) < tol, errs
 
 
 def spot_check(q, k, v, out, kk, rows, tol):
@@ -86,13 +123,23 @@ def main():
     out = f(q, k, v)
     jax.block_until_ready(out)
     spot_check(q, k, v, out, 9, [0, 1, 7, 223, 440, 447], tol=1e-4)
-    print("448^2 r16 fused NA f32: %.3f ms" % timeit(f, q, k, v))
+    ms = timeit(f, q, k, v)
+    RESULTS["fwd_448_r16_f32"] = {"ms": ms}
+    print("448^2 r16 fused NA f32: %.3f ms" % ms)
 
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
     ob = f(qb, kb, vb)
     jax.block_until_ready(ob)
     spot_check(qb, kb, vb, ob, 9, [0, 223, 447], tol=5e-2)
-    print("448^2 r16 fused NA bf16: %.3f ms" % timeit(f, qb, kb, vb))
+    ms = timeit(f, qb, kb, vb)
+    RESULTS["fwd_448_r16_bf16"] = {"ms": ms}
+    print("448^2 r16 fused NA bf16: %.3f ms" % ms)
+
+    # backward kernel on production shapes (incl. the once-cliffed dv=192
+    # and the f32 ratio-32 case the chunk-grid redesign unlocked)
+    check_bwd(448, 28, 4, 64, 96, 9, jnp.float32, 1e-3)
+    check_bwd(448, 28, 4, 64, 192, 9, jnp.bfloat16, 2e-2, seed=2)
+    check_bwd(896, 28, 4, 64, 96, 9, jnp.float32, 1e-3, seed=3)
 
     # north-star config: 2048^2 from 128^2 (bf16)
     q2, k2, v2 = make_qkv(2048, 2048, 128, 128, 4, 64, 96, dtype=jnp.bfloat16, seed=1)
@@ -100,7 +147,9 @@ def main():
     jax.block_until_ready(o2)
     spot_check(q2, k2, v2, o2, 9, [0, 1024, 2047], tol=5e-2)
     del o2
-    print("2048^2 r16 fused NA bf16: %.3f ms" % timeit(f, q2, k2, v2, iters=8))
+    ms = timeit(f, q2, k2, v2, iters=8)
+    RESULTS["fwd_2048_r16_bf16"] = {"ms": ms}
+    print("2048^2 r16 fused NA bf16: %.3f ms" % ms)
     del q2, k2, v2
 
     # fused encoder layers vs the flax stack (bf16 production path)
@@ -121,8 +170,9 @@ def main():
             jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)))
             / jnp.max(jnp.abs(want.astype(jnp.float32)))
         )
-        print(f"fused encoder k{ks} @448 rel err {rel:.2e}; "
-              f"{timeit(fe, p, x, iters=10):.3f} ms")
+        ms = timeit(fe, p, x, iters=10)
+        RESULTS[f"encoder_fused_k{ks}_448_bf16"] = {"rel_err": rel, "ms": ms}
+        print(f"fused encoder k{ks} @448 rel err {rel:.2e}; {ms:.3f} ms")
         assert rel < 2e-2, rel
 
     # fused adaptive conv vs XLA fallback (FeatUp AdaptiveConv semantics)
@@ -135,8 +185,15 @@ def main():
     ga = jax.jit(adaptive_conv_fused)(src, ker)
     sample = jnp.abs(ga[:, ::97, ::89]).max()
     assert bool(jnp.isfinite(sample))
-    print("adaptive conv fused @448 x384: %.3f ms"
-          % timeit(jax.jit(adaptive_conv_fused), src, ker, iters=10))
+    ms = timeit(jax.jit(adaptive_conv_fused), src, ker, iters=10)
+    RESULTS["adaptive_conv_fused_448_f32"] = {"ms": ms}
+    print("adaptive conv fused @448 x384: %.3f ms" % ms)
+
+    RESULTS["_device"] = str(jax.devices()[0])
+    RESULTS["_all_passed"] = True
+    with open(OUT, "w") as fjson:
+        json.dump(RESULTS, fjson, indent=1)
+    print(f"wrote {OUT}")
 
 
 if __name__ == "__main__":
