@@ -78,15 +78,30 @@ def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
 
+def _legacy_chunk_rows(r_h, bh, bw, n, g, nc_pad, dv):
+    """Historical chunk_rows: largest multiple of r_h keeping all groups'
+    f32 logits + per-head AV outputs under ~2.5 MB. This is the choice every
+    previously-covered config was tuned with — do not perturb it."""
+    f32_lanes = (n // g) * g * nc_pad + n * _pad128(dv)
+    budget_rows = max((2_500_000 // 4) // max(f32_lanes * bw, 1), 1)
+    chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
+    while bh % chunk_rows:
+        chunk_rows -= r_h
+    return chunk_rows
+
+
 @functools.lru_cache(maxsize=512)
-def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
-                     vmem_budget=10 * 2 ** 20):
-    """Choose (bc_h, bc_w) by a simple static cost model.
+def _pick_fwd(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
+              vmem_budget=10 * 2 ** 20):
+    """Choose (bc_h, bc_w, chunk_rows) by a simple static cost model.
 
     Cost per program = fixed overhead + Q/out tile HBM time + MXU time with
     lane-padded Nc + VPU softmax time; minimized over the valid bc grid
-    under a VMEM budget.
-    """
+    under a VMEM budget. Pass 1 is the historical model (legacy chunk
+    sizing); if NO block fits it (f32 ratio-32: one cell row of queries is
+    already 1024 x 4-byte lanes), pass 2 retries with sub-cell chunk_rows —
+    legal since the kernel derives the cell row from the global query row —
+    descending through divisors of bh until the f32 temporaries fit."""
     cands_h = _valid_bcs(r_h, hk, kernel)
     cands_w = _valid_bcs(r_w, wk, kernel)
     if not cands_h or not cands_w:
@@ -98,6 +113,26 @@ def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
     vpu_ops = 3e12
     gd_eff = _pad128(g * d)
     dv_eff = _pad128(dv)
+
+    def cost_of(bc_h, bc_w):
+        bh, bw = bc_h * r_h, bc_w * r_w
+        cq = bh * bw
+        nc = (bc_h + kernel - 1) * (bc_w + kernel - 1)
+        nc_pad = _pad128(nc)
+        ll = g * nc_pad
+        programs = -(-hk // bc_h) * -(-wk // bc_w)
+        qk_flops = (n // g) * 2 * cq * gd_eff * ll
+        av_flops = n * 2 * cq * nc_pad * dv_eff
+        softmax_ops = 8 * n * cq * nc_pad  # exp/max/sum/div passes
+        bytes_moved = cq * n * (d + dv) * itemsize
+        return programs * (
+            overhead_s
+            + bytes_moved / hbm_bps
+            + (qk_flops + av_flops) / mxu_flops
+            + softmax_ops / vpu_ops
+        )
+
+    # pass 1: the historical VMEM model, verbatim
     best, best_cost = None, None
     for bc_h in cands_h:
         for bc_w in cands_w:
@@ -118,20 +153,42 @@ def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
             kv_bytes = (n // g) * ll * gd_eff * itemsize + n * nc_pad * dv_eff * itemsize
             if tile_bytes + logit_bytes + outs_bytes + kv_bytes > vmem_budget:
                 continue
-            programs = -(-hk // bc_h) * -(-wk // bc_w)
-            qk_flops = (n // g) * 2 * cq * gd_eff * ll
-            av_flops = n * 2 * cq * nc_pad * dv_eff
-            softmax_ops = 8 * n * cq * nc_pad  # exp/max/sum/div passes
-            bytes_moved = cq * n * (d + dv) * itemsize
-            cost = programs * (
-                overhead_s
-                + bytes_moved / hbm_bps
-                + (qk_flops + av_flops) / mxu_flops
-                + softmax_ops / vpu_ops
-            )
+            cost = cost_of(bc_h, bc_w)
             if best_cost is None or cost < best_cost:
-                best, best_cost = (bc_h, bc_w), cost
+                chunk = _legacy_chunk_rows(r_h, bh, bw, n, g, nc_pad, dv)
+                best, best_cost = (bc_h, bc_w, chunk), cost
+    if best is not None:
+        return best
+
+    # pass 2: sub-cell chunk fallback for blocks the legacy model rejects
+    for bc_h in cands_h:
+        for bc_w in cands_w:
+            bh, bw = bc_h * r_h, bc_w * r_w
+            nc = (bc_h + kernel - 1) * (bc_w + kernel - 1)
+            nc_pad = _pad128(nc)
+            ll = g * nc_pad
+            tile_bytes = bh * bw * n * (d + dv) * itemsize * 2
+            kv_bytes = (n // g) * ll * gd_eff * itemsize + n * nc_pad * dv_eff * itemsize
+            f32_lanes = (n // g) * ll + n * dv_eff
+            for chunk in sorted(
+                {c for c in range(1, bh + 1) if bh % c == 0},
+                key=lambda c: (c % 8 != 0, -c),
+            ):
+                temp_bytes = chunk * bw * f32_lanes * 6
+                if tile_bytes + kv_bytes + temp_bytes > vmem_budget:
+                    continue
+                cost = cost_of(bc_h, bc_w)
+                if best_cost is None or cost < best_cost:
+                    best, best_cost = (bc_h, bc_w, chunk), cost
+                break
     return best
+
+
+def pick_cell_blocks(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize,
+                     vmem_budget=10 * 2 ** 20):
+    """Public (bc_h, bc_w) view of the forward picker (or None)."""
+    got = _pick_fwd(r_h, r_w, hk, wk, kernel, n, d, dv, itemsize, vmem_budget)
+    return None if got is None else got[:2]
 
 
 def fused_applicable(hq, wq, hk, wk, kernel: int, n=4, d=64, dv=64, itemsize=4):
@@ -150,8 +207,18 @@ def _bwd_chunk_rows(bh: int, bw: int, nc: int, n: int, d: int, dv: int,
     sublane alignment) whose VMEM footprint fits. Row chunks are a GRID
     dimension of the backward kernel: q/do/dq blocks shrink to the chunk
     while the dk/dv tile-grad out blocks are revisited and accumulated
-    across chunk steps. Returns (chunk_rows, fits)."""
+    across chunk steps. Returns (chunk_rows, fits).
+
+    VMEM accounting uses Mosaic's PHYSICAL tile sizes: the last block dim is
+    lane-padded to 128 and the second-to-last to the sublane count (8 f32 /
+    16 bf16) — a d=32 block really occupies 4x its logical bytes, which is
+    exactly how the un-padded model OOM'd scoped vmem (24.8 MB vs the 16 MB
+    limit) on 8-head d=32 f32 shapes."""
     ncl = _pad128(nc)
+    d_eff = _pad128(d)
+    dv_eff = _pad128(dv)
+    sub = 8 if itemsize >= 4 else 16
+    nc_eff = -(-nc // sub) * sub
     divisors = sorted(
         {c for c in range(1, bh + 1) if bh % c == 0},
         key=lambda c: (c % 8 != 0, -c),
@@ -159,9 +226,12 @@ def _bwd_chunk_rows(bh: int, bw: int, nc: int, n: int, d: int, dv: int,
     for chunk in divisors:
         cq = chunk * bw
         # q/do in + dq out chunk blocks (double-buffered across grid steps)
-        big_bytes = 2 * n * cq * (2 * d + dv) * itemsize
-        # k/v tiles (double-buffered) + resident f32 dk/dv tile grads
-        tile_bytes = 2 * n * nc * (d + dv) * itemsize + n * nc * (d + dv) * 4
+        big_bytes = 2 * n * cq * (2 * d_eff + dv_eff) * itemsize
+        # k/v tiles (double-buffered, io dtype) + resident f32 dk/dv grads
+        tile_bytes = (
+            2 * n * nc_eff * (d_eff + dv_eff) * itemsize
+            + n * nc_eff * (d_eff + dv_eff) * 4
+        )
         # one head's live f32 chain: logits, p, dp, dl (+ temps)
         live_bytes = 5 * cq * ncl * 4
         if big_bytes + tile_bytes + live_bytes <= vmem_budget:
@@ -359,8 +429,10 @@ def _kernel(
     # the VPU softmax instead of serializing QK -> softmax -> AV per head.
     for c in range(n_chunks):
         row_start = c * chunk_rows
-        # chunk_rows is a multiple of r_h, so the chunk starts on a cell row.
-        cell_h = ci0 + c * (chunk_rows // r_h) + i_loc // r_h  # (cq, 1)
+        # cell row from the global query row: valid for sub-cell chunks too
+        # (f32 ratio-32, where one cell row of queries overflows the temp
+        # budget and chunk_rows < r_h).
+        cell_h = ci0 + (row_start + i_loc) // r_h  # (cq, 1)
         ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
         ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
         bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
@@ -772,14 +844,14 @@ def _fused_fwd_impl(
     r_h, r_w = full_hq // hk if hk else 0, wq // wk if wk else 0
     itemsize = q.dtype.itemsize
     blocks = (
-        pick_cell_blocks(r_h, r_w, hk, wk, kk, n, d, dv, itemsize)
+        _pick_fwd(r_h, r_w, hk, wk, kk, n, d, dv, itemsize)
         if (full_hq % hk == 0 and wq % wk == 0 and hk >= kk and wk >= kk
             and hq % r_h == 0)
         else None
     )
     if blocks is None:
         raise ValueError("shapes not supported by fused kernel; use the xla path")
-    bc_h, bc_w = blocks
+    bc_h, bc_w, chunk_rows = blocks
     bh, bw = bc_h * r_h, bc_w * r_w
     band_cells = hq // r_h  # = hk when not banded
     n_ch = pl.cdiv(band_cells, bc_h)
@@ -789,14 +861,6 @@ def _fused_fwd_impl(
     nc = kb_h * kb_w
     g = _head_group(n, d)
     nc_pad = _pad128(nc)
-
-    # chunk_rows: multiple of r_h (so in-kernel cell math is exact), sized
-    # to keep ALL groups' f32 logits + per-head AV outputs <= ~2.5 MB.
-    f32_lanes = (n // g) * g * nc_pad + n * _pad128(dv)
-    budget_rows = max((2_500_000 // 4) // max(f32_lanes * bw, 1), 1)
-    chunk_rows = min(max((budget_rows // r_h) * r_h, r_h), bh)
-    while bh % chunk_rows:
-        chunk_rows -= r_h
 
     # Stage 1: union K/V tiles; K as per-group block-diagonal matrices,
     # each built by a single gather (see _build_tiles). The softmax scale is

@@ -117,3 +117,31 @@ def test_bwd_picker_covers_production_configs():
     for r, dv in [(16, 192), (16, 256), (32, 96), (16, 96), (8, 96)]:
         assert pick_cell_blocks_bwd(r, r, 28, 28, 9, 4, 64, dv, 2) is not None, \
             f"ratio {r}, dv {dv}"
+
+
+def test_fwd_subcell_chunks_match_oracle(monkeypatch):
+    """Pass-2 picker coverage (f32 ratio-32): chunk_rows below r_h must be
+    exact — the kernel derives the cell row from the global query row."""
+    import naf_tpu.kernels.na2d_fused as M
+
+    hq = wq = 48
+    hk = wk = 6
+    kk = 5
+    q, k, v = _qkv(hq, wq, hk, wk, n=4, d=64, dv=32)
+    # force a sub-cell chunk (r_h = 8, chunk 2) through the real dispatch
+    monkeypatch.setattr(M, "_pick_fwd", lambda *a, **kw: (1, 2, 2))
+    got = M.cross_scale_na2d_fused(q, k, v, kk, interpret=True)
+    want = cross_scale_na2d(q, k, v, kk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fwd_picker_f32_r32_covered():
+    """The f32 ratio-32 configs the legacy model rejected now tile (pass 2)."""
+    from naf_tpu.kernels.na2d_fused import _pick_fwd, fused_applicable
+
+    for (kk, n, d, dv) in [(9, 4, 64, 96), (7, 8, 32, 48)]:
+        got = _pick_fwd(32, 32, 28, 28, kk, n, d, dv, 4)
+        assert got is not None and got[2] < 32, got  # sub-cell chunk
+        assert fused_applicable(896, 896, 28, 28, kk, n=n, d=d, dv=dv,
+                                itemsize=4)
