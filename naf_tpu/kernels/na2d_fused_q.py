@@ -227,6 +227,7 @@ def _kernel(
     cell0: int = 0,         # first (global) cell row of this band
     w_tiles: int = 1,       # merged column tiles per program
     diag: str = "",         # timing-only ablations ("noexp"/"nomask"/"norope")
+    rot_in_kernel: bool = False,  # enc arrives WITHOUT the pre-rotated copy
 ):
     kk = kernel_size
     nh = kk // 2
@@ -259,6 +260,13 @@ def _kernel(
     rows_c = jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0)
     i_loc = rows_c // bw
     j_loc = rows_c - i_loc * bw
+    # Transposed-softmax layout: queries on lanes, union cells on sublanes.
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, cq), 1)
+    i_loc_t = lane_q // bw
+    j_loc_t = lane_q - i_loc_t * bw
+    sub_c = jax.lax.broadcasted_iota(jnp.int32, (nc_pad, 1), 0)
+    t_idx_t = sub_c // kb_w
+    s_idx_t = sub_c - t_idx_t * kb_w
 
     # Identity-pool only: rotate-half as two lane rolls + select:
     # rot[c] = -x[c + dh/2] for the first half of each rope head,
@@ -281,6 +289,9 @@ def _kernel(
         cell_w = cj0 + j_loc // r_w
         ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
         ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)  # (cq, nc_pad)
+        cell_w_t = cj0 + j_loc_t // r_w
+        ws_w_t = jnp.clip(cell_w_t - nh, 0, wk - kk) - col0  # (1, cq)
+        ok_w_t = (s_idx_t >= ws_w_t) & (s_idx_t < ws_w_t + kk)
 
         cols_t = cols_ref[pl.ds(tt * bw, bw)]
         cos_c3 = cols_t[:, :c_dim][None]  # (1, bw, C)
@@ -302,12 +313,36 @@ def _kernel(
             ih = enc_ref.shape[2]
             pcol = col_pool_ref[...].astype(enc_ref.dtype)  # (bw, iwe)
             ctab = cols_t.astype(jnp.float32)  # (bw, 2C) = cos_c | sin_c
+            first2 = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, c_dim), 1)
+                % rope_d_head
+            ) < dh2
             for r in range(ih):
                 if diag == "nocolpool":  # timing ablation: skip the dots
                     xc_ref[r] = jnp.zeros_like(xc_ref[r])
                     continue
+                xr = enc_ref[0, tt, r]  # (iwe, C or 2C)
+                if rot_in_kernel:
+                    # Build the rotated copy HERE, on the tiny low-res input
+                    # row, instead of shipping it from HBM: halves the enc
+                    # stream and the host-side stacked layout. Rolls are
+                    # exact (rotate-half is a signed permutation within each
+                    # rope head; see the identity-path note below).
+                    if xr.dtype == jnp.bfloat16:
+                        xi = pltpu.bitcast(xr, jnp.int32)
+                        r1 = pltpu.bitcast(
+                            pltpu.roll(xi, c_dim - dh2, 1), jnp.bfloat16
+                        )
+                        r2 = pltpu.bitcast(
+                            pltpu.roll(xi, dh2, 1), jnp.bfloat16
+                        )
+                    else:
+                        r1 = pltpu.roll(xr, c_dim - dh2, 1)
+                        r2 = pltpu.roll(xr, dh2, 1)
+                    rot_r = jnp.where(first2, -r1, r2).astype(xr.dtype)
+                    xr = jnp.concatenate([xr, rot_r], axis=-1)  # (iwe, 2C)
                 xc_ref[r] = jax.lax.dot_general(
-                    pcol, enc_ref[0, tt, r],
+                    pcol, xr,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
@@ -362,7 +397,72 @@ def _kernel(
                 q3 = xup_ref[pl.ds(o0, chunk_rows)]  # ready-made queries
             q2 = q3.reshape(cq, c_dim)
 
-            # ---- mask for this chunk ----
+            if dtype != jnp.float32:
+                # ---- bf16 fast path: TRANSPOSED softmax ----
+                # Logits live as (union cells, queries): K is the dot LHS, so
+                # the softmax denominator is a SUBLANE reduction (one
+                # vreg-add per 8 cells — ~10x fewer vreg ops than the lane
+                # tree-reduce, measured 15.7 -> 12.3 ms at 448^2->2048^2),
+                # the 1/sum broadcast rides sublanes for free, and the AV
+                # matmul contracts dim 0 of both operands (the MXU-natural
+                # stationary layout). Logits are bounded (RoPE'd encodings,
+                # scale folded) so no max pass: exp2 never overflows and the
+                # masked -1e30 underflows to exactly 0. The caller folds
+                # log2(e) into the K scale so exp2 here IS the natural-base
+                # softmax (base-invariant under that rescale).
+                if chunk_rows <= r_h:
+                    cell_h0 = ci0 + (o0 // r_h)
+                    ws_h = jnp.clip(cell_h0 - nh, 0, hk - kk) - row0
+                    ok_h_t = (t_idx_t >= ws_h) & (t_idx_t < ws_h + kk)
+                else:
+                    cell_h_t = ci0 + (o0 + i_loc_t) // r_h
+                    ws_h_t = jnp.clip(cell_h_t - nh, 0, hk - kk) - row0
+                    ok_h_t = (t_idx_t >= ws_h_t) & (t_idx_t < ws_h_t + kk)
+                bias_t = jnp.where(
+                    ok_h_t & ok_w_t, 0.0, -1e30
+                ).astype(jnp.float32)  # (nc_pad, cq)
+                if diag == "nomask":
+                    bias_t = jnp.zeros_like(bias_t)
+                lts = []
+                for h in range(n):
+                    p = h // g
+                    qg = q2[:, p * gd : (p + 1) * gd]
+                    km = k2_t[:, h * gd : (h + 1) * gd]  # (128, gd)
+                    if diag == "noqk":  # timing ablation: skip QK matmuls
+                        lts.append(jnp.sum(qg) + bias_t)
+                        continue
+                    lts.append(
+                        jax.lax.dot_general(
+                            km, qg,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        ) + bias_t
+                    )
+                outs = []
+                for h in range(n):
+                    vm = v_t[:, h * dv : (h + 1) * dv]  # (128, dv)
+                    e = jnp.exp2(lts[h])
+                    if diag == "nosum":  # timing floor: skip sum+normalize
+                        en = e.astype(vm.dtype)
+                    else:
+                        s = jnp.sum(e, axis=0, keepdims=True)  # (1, cq)
+                        en = (e * (1.0 / s)).astype(vm.dtype)
+                    outs.append(
+                        jax.lax.dot_general(
+                            en, vm,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        ).astype(o_ref.dtype)
+                    )
+                out = jnp.concatenate(outs, axis=-1) if n > 1 else outs[0]
+                o_ref[0, pl.ds(o0, chunk_rows), pl.ds(tt * bw, bw)] = (
+                    out.reshape(chunk_rows, bw, n * dv).astype(o_ref.dtype)
+                )
+                continue
+
+            # ---- f32 path (bit-parity with the oracle's natural exp) ----
             # When the chunk spans exactly one LR cell row (chunk_rows ==
             # r_h at high ratios), every query shares the same window row:
             # ws_h is a per-chunk scalar and ok_h a (1, nc) row vector.
@@ -398,42 +498,17 @@ def _kernel(
             outs = []
             for h in range(n):
                 vm = v_t[:, h * dv : (h + 1) * dv]  # (128, dv)
-                if dtype == jnp.float32:
-                    m = jnp.max(logits[h], axis=-1, keepdims=True)
-                    e = jnp.exp(logits[h] - m)
-                    pn = e / jnp.sum(e, axis=-1, keepdims=True)
-                    outs.append(
-                        jax.lax.dot_general(
-                            pn.astype(vm.dtype), vm,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec,
-                        )
-                    )
-                else:
-                    # bf16 fast path: logits are bounded (RoPE'd encodings,
-                    # scale folded), so the max-subtraction pass is
-                    # unnecessary (exp never overflows; masked -1e30
-                    # underflows to exactly 0), and normalization is
-                    # deferred past the AV matmul where the operand is dv
-                    # wide instead of nc_pad. The caller folds log2(e) into
-                    # the K scale so the base-2 exponential here IS exp of
-                    # the natural-base logits (softmax is base-invariant
-                    # under that rescale) — exp2 is the hardware primitive;
-                    # plain exp pays an extra full-size multiply to reach it.
-                    e = logits[h] if diag == "noexp" else jnp.exp2(logits[h])
-                    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-                    if diag == "noav":  # timing ablation: skip AV matmuls
-                        outs.append((e[:, :dv] * r).astype(o_ref.dtype))
-                        continue
-                    av = jax.lax.dot_general(
-                        e.astype(vm.dtype), vm,
+                m = jnp.max(logits[h], axis=-1, keepdims=True)
+                e = jnp.exp(logits[h] - m)
+                pn = e / jnp.sum(e, axis=-1, keepdims=True)
+                outs.append(
+                    jax.lax.dot_general(
+                        pn.astype(vm.dtype), vm,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=prec,
                     )
-                    # cast before the concat: halves live out-buffer bytes
-                    outs.append((av * r).astype(o_ref.dtype))
+                )
             out = jnp.concatenate(outs, axis=-1) if n > 1 else outs[0]
             o_ref[0, pl.ds(o0, chunk_rows), pl.ds(tt * bw, bw)] = out.reshape(
                 chunk_rows, bw, n * dv
@@ -452,7 +527,7 @@ def _row_taps(hi: int, hq: int, bh: int, ih: int):
 
 
 def _pick_w_tiles(n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
-                  itemsize):
+                  itemsize, rot_in_kernel=False):
     """Largest column-tile merge factor that fits the VMEM budget.
 
     Merging tt adjacent column tiles into one program cuts the program count
@@ -466,7 +541,8 @@ def _pick_w_tiles(n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
             continue
         out_b = bh * wt * bw * n * dv * itemsize
         enc_b = (
-            wt * ih * iwe * 2 * c * itemsize  # enc + rotated copy
+            # rotated copy built in-kernel (dp == d) or shipped from HBM
+            wt * ih * iwe * (c if rot_in_kernel else 2 * c) * itemsize
             if not pool_identity
             else bh * wt * bw * c * itemsize
         )
@@ -705,6 +781,7 @@ def _fused_q_impl(
         g, bc_h, bc_w, kk, row_cell0, band_cells,
     )
 
+    rot_in_kernel = False
     if pool_identity:
         ih, iw, iwe = bh, bw, bw
         col_pool = None
@@ -715,19 +792,24 @@ def _fused_q_impl(
         iwe = _ceil8(iw)
         col_pool = np.pad(_pool_matrix(wi, wq)[:bw, :iw], ((0, 0), (0, iwe - iw)))
         row_taps = _row_taps(hi_full, hq, bh, ih)
-        # rotate-half commutes with the per-channel pool-up: ship a
-        # pre-rotated copy on channels and pool both (replaces the
-        # in-kernel f32 lane rolls; exact — rmat is a signed permutation)
-        from naf_tpu.nn.rope import _rotate_half_matrix
+        # rotate-half commutes with the per-channel pool-up. When heads are
+        # unpadded (dp == d) the rotated copy is built IN-KERNEL from the
+        # tiny low-res input row (lane rolls within each rope head — exact,
+        # a signed permutation), halving both the host-side stacked layout
+        # and the enc HBM stream. Head padding breaks the within-head roll
+        # geometry, so the dp != d case keeps the host-side pre-rotated
+        # concat (pad both, then pool both together).
+        rot_in_kernel = dp == d
+        if not rot_in_kernel:
+            from naf_tpu.nn.rope import _rotate_half_matrix
 
-        rmat = jnp.asarray(
-            _rotate_half_matrix(c // rope_d_head, rope_d_head), dtype
-        )
-        rot = jnp.einsum("bhwc,cd->bhwd", enc, rmat)
-        if dp != d:
+            rmat = jnp.asarray(
+                _rotate_half_matrix(c // rope_d_head, rope_d_head), dtype
+            )
+            rot = jnp.einsum("bhwc,cd->bhwd", enc, rmat)
             enc = _pad_heads(enc, n, d, dp)
             rot = _pad_heads(rot, n, d, dp)
-        enc = jnp.concatenate([enc, rot], axis=-1)  # (b, hi, wi, 2C')
+            enc = jnp.concatenate([enc, rot], axis=-1)  # (b, hi, wi, 2C')
     c = n * dp  # padded working channel count (== C when dp == d)
     if enc_banded and hi != (band_cells // bc_h) * ih:
         raise ValueError(
@@ -738,7 +820,7 @@ def _fused_q_impl(
     if w_tiles is None:
         w_tiles = _pick_w_tiles(
             n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
-            enc.dtype.itemsize,
+            enc.dtype.itemsize, rot_in_kernel,
         )
     wt = w_tiles
 
@@ -760,7 +842,7 @@ def _fused_q_impl(
             axis=1,
         )  # (b, n_cw, hi, iwe, C)
         enc_spec = pl.BlockSpec(
-            (1, wt, ih, iwe, 2 * c),
+            (1, wt, ih, iwe, c if rot_in_kernel else 2 * c),
             lambda bb, ii, jj: (bb, jj, ii + enc_off, 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -816,6 +898,7 @@ def _fused_q_impl(
             bc_h=bc_h, bc_w=bc_w, hk=hk, wk=wk, chunk_rows=chunk_rows,
             pool_identity=pool_identity, row_taps=row_taps,
             rope_d_head=rope_d_head, cell0=row_cell0, w_tiles=wt, diag=_diag,
+            rot_in_kernel=rot_in_kernel,
         )
 
     in_specs = [

@@ -152,6 +152,83 @@ def main():
     print("2048^2 r16 fused NA bf16: %.3f ms" % ms)
     del q2, k2, v2
 
+    # fully-fused upsampling attention (pool-up + RoPE + NA) vs the modular
+    # XLA composition, COMPILED on device (the pytest twin runs interpret
+    # mode on CPU; this is the shipping inference path incl. the in-kernel
+    # rotate-half and the transposed bf16 softmax)
+    from naf_tpu.kernels.na2d_fused_q import naf_upsample_attention
+    from naf_tpu.nn.rope import RoPE
+    from naf_tpu.ops.pool import adaptive_avg_pool2d
+
+    def fused_q_check(hi, out_hw, hk, n, c, cv, dtype, tol, tag,
+                      parity=True):
+        rope = RoPE(embed_dim=c, num_heads=n)
+        ks3 = jax.random.split(jax.random.PRNGKey(11), 3)
+        enc = jax.random.normal(ks3[0], (1, hi, hi, c), dtype)
+        vals = jax.random.normal(ks3[1], (1, hk, hk, cv), dtype)
+        rp = rope.init(ks3[2], enc)
+
+        def modular(enc, vals):
+            xu = adaptive_avg_pool2d(enc, out_hw)
+            x = rope.apply(rp, xu)
+            keys = adaptive_avg_pool2d(x, (hk, hk))
+            q = x.reshape(1, *out_hw, n, c // n)
+            k = keys.reshape(1, hk, hk, n, c // n)
+            v = vals.reshape(1, hk, hk, n, cv // n)
+            o = cross_scale_na2d(q, k, v, 9, scale=(c // n) ** -0.5)
+            return o.reshape(1, *out_hw, cv)
+
+        def fused(enc, vals):
+            keys = rope.apply(rp, enc, up_hw=out_hw, down_hw=(hk, hk),
+                              method=rope.pooled)
+            sr, cr, sc, cc = rope.apply(rp, out_hw[0], out_hw[1],
+                                        method=rope.tables)
+            rows_tab = jnp.concatenate([cr, sr], axis=-1)
+            cols_tab = jnp.concatenate([cc, sc], axis=-1)
+            return naf_upsample_attention(
+                enc, keys, vals, rows_tab, cols_tab, c // n,
+                num_heads=n, kernel_size=9,
+            )
+
+        # XLA's default matmul precision is bf16-grade even for f32 inputs;
+        # the fused kernel's f32 path runs precision=HIGHEST, so the modular
+        # reference must too or the comparison measures XLA's own rounding.
+        prec_ctx = (jax.default_matmul_precision("float32")
+                    if dtype == jnp.float32
+                    else jax.default_matmul_precision("default"))
+        rec = {}
+        if parity:  # modular path materializes HR grids — OOMs at 2048^2
+            with prec_ctx:  # covers the fused path's XLA keys glue too
+                want = jax.jit(modular)(enc, vals)
+                got = jax.jit(fused)(enc, vals)
+            # sampled rows only (host<->TPU fetches tunnel over HTTP)
+            idx = [0, out_hw[0] // 2, out_hw[0] - 1]
+            err = max(
+                float(jnp.max(jnp.abs(got[:, i].astype(jnp.float32)
+                                      - want[:, i].astype(jnp.float32))))
+                for i in idx
+            )
+            scale_ref = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+            rec["rel_err"] = rel = err / (scale_ref + 1e-6)
+            del want, got
+        ms = timeit(jax.jit(fused), enc, vals, iters=10)
+        rec["ms"] = ms
+        print(f"fused_q {tag}: {rec}")
+        RESULTS[f"fused_q_{tag}"] = rec
+        if parity:
+            assert rel < tol, rel
+        del enc, vals
+        jax.clear_caches()
+
+    fused_q_check(112, (448, 448), 28, 4, 256, 384, jnp.float32, 2e-4,
+                  "448_f32")
+    fused_q_check(112, (448, 448), 28, 4, 256, 384, jnp.bfloat16, 5e-2,
+                  "448_bf16")
+    fused_q_check(224, (896, 896), 56, 4, 256, 384, jnp.bfloat16, 5e-2,
+                  "896_bf16")
+    fused_q_check(512, (2048, 2048), 128, 4, 256, 384, jnp.bfloat16, 5e-2,
+                  "2048_bf16", parity=False)
+
     # fused encoder layers vs the flax stack (bf16 production path)
     from naf_tpu.kernels.encoder_fused import encoder_stack_fused
     from naf_tpu.nn import Encoder
