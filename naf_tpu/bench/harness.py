@@ -51,7 +51,10 @@ def _config_from_factor(factor: str, value: int) -> dict:
     if factor == "ratio":
         cfg["img_size"] = cfg["lr_size"] * value
     elif factor == "img_size":
-        cfg["lr_size"] = max(value // cfg["ratio"], 1)
+        # Reference protocol (test/test_utils.py:45-52): sweeping img_size
+        # keeps lr_size at its default (28) — the effective ratio varies
+        # implicitly (112 -> r4, 896 -> r32), it is NOT held at 16.
+        cfg["ratio"] = max(value // cfg["lr_size"], 1)
     elif factor == "lr_size":
         cfg["img_size"] = value * cfg["ratio"]
     return cfg

@@ -67,7 +67,7 @@ def _kernel(
     # 4-D block for k=1 / Element k=3; 6-D for the pre-sliced halo layout
     xt = x_ref[0] if x_ref.ndim == 4 else x_ref[0, 0, :, 0]
     zf = xt.astype(jnp.float32) * scale_ref[0, 0] + shift_ref[0, 0]
-    if activation:
+    if activation and diag != "noact":  # noact: isolate the silu VPU cost
         zf = zf * jax.nn.sigmoid(zf)
 
     prec = (
@@ -106,13 +106,23 @@ def _kernel(
         wcols = zf.shape[1]
         z_ref[0] = zf.astype(x_ref.dtype)
         for dx in range(1, kk):
+            if diag == "norolls":  # skip the rolled copies; dots read src 0
+                break
             # roll left by dx: out[w] = in[w + dx]. Mosaic's rotate only
             # handles 32-bit data, so roll the f32 value pre-cast.
             z_ref[dx] = pltpu.roll(zf, wcols - dx, 1).astype(x_ref.dtype)
+        if diag == "nodots":  # skip the MXU entirely (timing floor)
+            acc = (jnp.zeros((bh * bw, f_out), jnp.float32)
+                   + jnp.sum(z_ref[0, 0, 0])).reshape(bh, bw, f_out)
+            y = acc + b_ref[0]
+            y_ref[0] = y.astype(y_ref.dtype)
+            ps_ref[0, 0, 0, 0, :] = y[0, 0]
+            ps_ref[0, 0, 0, 1, :] = y[0, 0]
+            return
         acc0 = acc1 = None
         for dy in range(kk):
             for dx in range(kk):
-                src = 0 if diag == "notaps" else dx
+                src = 0 if diag in ("notaps", "norolls") else dx
                 part = jax.lax.dot_general(
                     z_ref[src, dy : dy + bh, 0:bw, :].reshape(bh * bw, -1),
                     w_ref[dy * kk + dx],
@@ -375,13 +385,13 @@ def fused_encoder_applicable(x_shape, kernel_size: int, hidden: int) -> bool:
     jax.jit,
     static_argnames=("kernel_size", "activation", "interpret", "out_total_f",
                      "out_ch_block", "in_layout", "out_padded",
-                     "out_col_shift", "_diag"),
+                     "out_col_shift", "_diag", "_tiles"),
 )
 def gn_silu_conv_fused(
     x, scale, shift, w, b, kernel_size: int, activation: bool = True,
     interpret: bool = False, out_total_f=None, out_ch_block: int = 0,
     out_acc=None, in_layout=None, out_padded: bool = False,
-    out_col_shift: int = 0, _diag: str = "",
+    out_col_shift: int = 0, _diag: str = "", _tiles=None,
 ):
     """One fused encoder layer. x (B,H,W,C) -> (y (B,H,W,F), psums (B,2,F)).
 
@@ -422,7 +432,7 @@ def gn_silu_conv_fused(
             raise ValueError("carry chain must decrement the column shift")
     else:
         bsz, h, wd, c = x.shape
-    tiles = _pick_tiles(h, wd, c, f, kk, x.dtype.itemsize)
+    tiles = _tiles or _pick_tiles(h, wd, c, f, kk, x.dtype.itemsize)
     if tiles is None:
         raise ValueError(
             f"unsupported shape for fused encoder layer: {(bsz, h, wd, c)}"
