@@ -53,7 +53,8 @@ def main(argv):
         val_iter = synthetic_images(cfg["val_dataloader"]["batch_size"],
                                     dcfg.img_size, seed=1)
     else:
-        from naf_tpu.data import DataLoader, ImageFolderDataset
+        from naf_tpu.data import (DataLoader, ImageFolderDataset,
+                                  device_cached_batches)
         from naf_tpu.data.transforms import image_transform
 
         ds = ImageFolderDataset(
@@ -68,20 +69,29 @@ def main(argv):
             val_root, transform=lambda im: image_transform(im, dcfg.img_size)
         ) if val_root else ds
 
-        def forever(loader):
-            while True:
-                for b in loader:
-                    yield b["image"]
+        # Small corpora: keep the transformed stack resident in HBM and
+        # gather batches on device (per-step host traffic would otherwise
+        # dominate through the host<->device tunnel).
+        if len(ds) <= cfg.get("device_cache_max_images", 512):
+            train_iter = device_cached_batches(
+                ds, cfg["train_dataloader"]["batch_size"], shuffle=True)
+            val_iter = device_cached_batches(
+                val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False)
+        else:
+            def forever(loader):
+                while True:
+                    for b in loader:
+                        yield b["image"]
 
-        train_iter = forever(DataLoader(
-            ds, cfg["train_dataloader"]["batch_size"], shuffle=True,
-            num_workers=cfg["train_dataloader"].get("num_workers", 4),
-            drop_last=True,
-        ))
-        val_iter = forever(DataLoader(
-            val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False,
-            num_workers=2, drop_last=True,
-        ))
+            train_iter = forever(DataLoader(
+                ds, cfg["train_dataloader"]["batch_size"], shuffle=True,
+                num_workers=cfg["train_dataloader"].get("num_workers", 4),
+                drop_last=True,
+            ))
+            val_iter = forever(DataLoader(
+                val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False,
+                num_workers=2, drop_last=True,
+            ))
 
     params = train_denoiser(model, train_iter, dcfg)
     metrics = validate_denoiser(model, params, val_iter, dcfg)

@@ -321,8 +321,16 @@ def _merge_row(old: Optional[dict], new: dict) -> dict:
     """Monotone refresh: never downgrade a measured backward number to
     silent absence. If the prior row carried bwd_ms and the new one has
     neither a measurement nor a structured bwd marker, the old backward
-    fields are carried over with an explicit provenance note."""
-    if not old or "bwd_ms" in new:
+    fields are carried over with an explicit provenance note. Device-measured
+    peak-memory fields (tools/measure_mem.py) live outside the sweep and are
+    always carried onto the refreshed row."""
+    if not old:
+        return new
+    measured = {k: v for k, v in old.items()
+                if k.endswith("_mem_measured_mb") and k not in new}
+    if measured:
+        new = {**new, **measured}
+    if "bwd_ms" in new:
         return new
     if "bwd_ms" in old and "bwd_error" not in new:
         # new row ran with backward disabled (bwd_skip) or predates the

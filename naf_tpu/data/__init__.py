@@ -7,6 +7,7 @@ from naf_tpu.data.datasets import (  # noqa: F401
     KITTI360Dataset,
     VOCDataset,
 )
+from naf_tpu.data.device_cache import device_cached_batches  # noqa: F401
 from naf_tpu.data.loader import DataLoader  # noqa: F401
 from naf_tpu.data.transforms import image_transform, label_transform  # noqa: F401
 

@@ -79,6 +79,13 @@ def cross_scale_lr_indices(hr_size: int, lr_size: int, kernel: int) -> np.ndarra
     ragged ratio) with ``hr_size >= kernel * (hr_size // lr_size)``.
     """
     dilation = max(hr_size // lr_size, 1)
+    if kernel * dilation > hr_size:
+        # The reference pipeline (natten na2d with dilation=ratio,
+        # src/layers/attentions.py:56-57) cannot run windows wider than the
+        # grid; clamp to the densest dilation that fits so small training
+        # grids (e.g. 16x16 targets with ratio 2, kernel 9) degrade to a
+        # tighter neighborhood instead of failing.
+        dilation = max(hr_size // kernel, 1)
     hr_pos = na_gather_indices(hr_size, kernel, dilation)  # (hr, k) HR positions
     src = nearest_exact_src_index(lr_size, hr_size)  # (hr,) HR pos -> LR cell
     return src[hr_pos]

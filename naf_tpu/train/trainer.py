@@ -156,7 +156,10 @@ def train_upsampler(
     with open(metrics_path, "a") as mf:
         for step in range(cfg.train_steps):
             batch = next(data_iter)  # (B, H, W, 3) in [0, 1]
-            img = np.asarray(batch, np.float32)
+            # Normalize on device: a host batch uploads once (not twice),
+            # and a device-cached batch (data/device_cache.py) never leaves
+            # the chip — host<->device traffic rides a tunnel here.
+            img = jnp.asarray(batch, jnp.float32)
             img_ups = (img - imagenet_mean) / imagenet_std
             img_back = (img - bmean) / bstd
 
@@ -166,8 +169,7 @@ def train_upsampler(
             hr_hw = (img.shape[1] // ps, img.shape[2] // ps)
             crop_hw = tuple(min(224, 4 * v) for v in hr_hw)
 
-            x_ups = jnp.asarray(img_ups)
-            x_back = jnp.asarray(img_back)
+            x_ups, x_back = img_ups, img_back
             if mesh is not None:
                 x_ups = jax.device_put(x_ups, shard)
                 x_back = jax.device_put(x_back, shard)

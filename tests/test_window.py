@@ -78,3 +78,21 @@ def test_cross_scale_ragged_ratio_matches_composition():
     hr_pos = na_gather_indices(hq, kernel, d)
     np.testing.assert_array_equal(idx, src[hr_pos])
     assert idx.min() >= 0 and idx.max() < hk
+
+
+def test_cross_scale_small_grid_clamps_dilation():
+    """Training-time grids smaller than kernel*ratio (e.g. 16^2 targets at
+    ratio 2 with kernel 9) clamp to the densest dilation that fits instead
+    of failing — the reference's natten path cannot run these at all."""
+    hq, hk, kernel = 16, 8, 9
+    idx = cross_scale_lr_indices(hq, hk, kernel)
+    assert idx.shape == (hq, kernel)
+    assert idx.min() >= 0 and idx.max() < hk
+    # clamped dilation 1 == composition of upsample map and dense windows
+    src = nearest_exact_src_index(hk, hq)
+    hr_pos = na_gather_indices(hq, kernel, 1)
+    np.testing.assert_array_equal(idx, src[hr_pos])
+    # grids the reference CAN run are untouched by the clamp
+    ok = cross_scale_lr_indices(32, 16, 9)
+    np.testing.assert_array_equal(
+        ok, nearest_exact_src_index(16, 32)[na_gather_indices(32, 9, 2)])

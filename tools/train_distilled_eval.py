@@ -51,7 +51,7 @@ def main(argv=()):
     jax.config.update("jax_compilation_cache_dir", "/tmp/naf_tpu_jax_cache")
 
     from naf_tpu.backbones import PretrainedViTWrapper
-    from naf_tpu.data import DataLoader, ImageFolderDataset
+    from naf_tpu.data import ImageFolderDataset, device_cached_batches
     from naf_tpu.data.transforms import image_transform
     from naf_tpu.models.naf import NAF
     from naf_tpu.train.trainer import TrainConfig, train_upsampler
@@ -63,19 +63,14 @@ def main(argv=()):
     backbone = PretrainedViTWrapper("vit_small_patch16_224")
     model = NAF()
 
-    # 2. real-photograph loader (18 shard training images, random crops via
-    # the training transform)
+    # 2. real-photograph batches (18 shard training images), cached on
+    # device once — per-step batches are device-side index gathers
+    # (naf_tpu/data/device_cache.py)
     ds = ImageFolderDataset(
         os.path.join(SHARD, "ade20k", "images", "training"),
         transform=lambda im: image_transform(im, img_size),
     )
-    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
-                        drop_last=True)
-
-    def images():
-        while True:
-            for batch in loader:
-                yield batch["image"]
+    images = lambda: device_cached_batches(ds, batch_size=4, shuffle=True)
 
     cfg = TrainConfig(
         train_steps=steps,
