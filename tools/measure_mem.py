@@ -2,15 +2,22 @@
 
 The sweep's `fwd_mem_mb`/`bwd_mem_mb` columns are XLA `memory_analysis()`
 of the compiled executable (argument + temp + output sizes) — analytical,
-not runtime. This probe grounds them with a device-side measurement:
-`device.memory_stats()['peak_bytes_in_use']` deltas around the real
-execution (the reference's comparable number is torch
-`max_memory_allocated`, test/test_utils.py).
+not runtime. This probe grounds them with a device-side measurement. The
+reference's comparable number is torch `max_memory_allocated`
+(test/test_utils.py).
 
-For each headline config it records
-  {analytical fwd/bwd (for cross-checking), measured fwd/bwd peak MB}
-and merges a `fwd_mem_measured_mb` / `bwd_mem_measured_mb` pair onto the
-matching rows of benchmarks/results.json.
+Primary path: `device.memory_stats()['peak_bytes_in_use']` deltas around
+the real execution. The axon tunnel returns None for memory_stats, so the
+fallback is allocate-to-OOM bisection: hold a filler buffer of F bytes
+while executing the program; the largest F that coexists with a successful
+run bounds the program's true peak at HBM_total - F (resolution = the
+bisection step). Coarse but *measured* — it reflects the runtime
+allocator, padding, and fragmentation that memory_analysis cannot see.
+
+For each headline config it records analytical + measured fwd/bwd peaks
+and merges `fwd_mem_measured_mb` / `bwd_mem_measured_mb` onto the matching
+benchmarks/results.json rows (the sweep merge carries these fields across
+later refreshes).
 
 Run: python tools/measure_mem.py   (on the real TPU)
 """
@@ -34,25 +41,62 @@ CONFIGS = [
     ("JAFAR", 896, 384, 28),
 ]
 
+HBM_TOTAL_MB = 16 * 1024  # one v5e chip
+STEP_MB = 256  # bisection resolution
 
-def peak_mb(dev) -> float:
-    stats = dev.memory_stats()
-    return stats["peak_bytes_in_use"] / 2**20
+
+def _try_run(fn, args, filler_mb: int) -> bool:
+    """True iff `fn(*args)` completes while `filler_mb` MB are held."""
+    filler = None
+    try:
+        if filler_mb:
+            filler = jnp.zeros((filler_mb, 2 ** 20 // 4), jnp.float32)
+            filler.block_until_ready()
+        out = fn(*args)
+        # force completion through the tunnel: fetch a scalar
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        return True
+    except Exception as e:  # RESOURCE_EXHAUSTED surfaces as XlaRuntimeError
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
+                or "OOM" in msg or "exceeds the" in msg:
+            return False
+        raise
+    finally:
+        del filler
+
+
+def bisect_peak_mb(fn, args) -> float:
+    """Largest filler that coexists with fn -> peak = HBM_total - filler."""
+    if not _try_run(fn, args, 0):
+        return float("nan")  # doesn't fit at all (caller records error)
+    lo, hi = 0, HBM_TOTAL_MB  # lo = known-good filler, hi = known-bad
+    while hi - lo > STEP_MB:
+        mid = (lo + hi) // 2
+        if _try_run(fn, args, mid):
+            lo = mid
+        else:
+            hi = mid
+    return float(HBM_TOTAL_MB - lo)
+
+
+def peak_stats_mb(dev):
+    stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+    return None if stats is None else stats["peak_bytes_in_use"] / 2 ** 20
 
 
 def main():
     from naf_tpu.models.registry import ModelWrapper
 
     dev = jax.devices()[0]
-    if not hasattr(dev, "memory_stats") or dev.memory_stats() is None:
-        print("device.memory_stats() unavailable on this backend")
-        return
+    use_stats = peak_stats_mb(dev) is not None
+    print(f"memory_stats available: {use_stats}")
 
     out = {}
     dtype = jnp.bfloat16
     for name, img, embed, lr in CONFIGS:
       try:
-        # fresh baseline per config: free executables + buffers
         jax.clear_caches()
         wrapper = ModelWrapper(
             name, embed_dim=embed, ratio=img // lr,
@@ -67,32 +111,38 @@ def main():
         def fwd(p, im, ft):
             return model.apply({"params": p}, im, ft, (img, img))
 
-        fj = jax.jit(fwd)
-        base = peak_mb(dev)
-        o = fj(params, image, feats)
-        jax.block_until_ready(o)  # harmless if tunnel ignores it
-        float(jnp.sum(o.astype(jnp.float32)))  # force completion via fetch
-        peak_f = peak_mb(dev)
-
         def loss(p, im, ft):
             return jnp.sum(fwd(p, im, ft).astype(jnp.float32) ** 2)
 
+        fj = jax.jit(fwd)
         gj = jax.jit(jax.grad(loss))
-        del o
-        g = gj(params, image, feats)
-        for leaf in jax.tree_util.tree_leaves(g):
-            float(jnp.sum(leaf.astype(jnp.float32)))
-            break  # one fetch serializes enough; peak already hit
-        peak_b = peak_mb(dev)
+        row = {}
 
-        row = {
-            "fwd_peak_mb": round(peak_f - base, 1),
-            "bwd_peak_mb": round(peak_b - base, 1),
-            "baseline_mb": round(base, 1),
-        }
+        if use_stats:
+            base = peak_stats_mb(dev)
+            o = fj(params, image, feats)
+            float(jnp.sum(o.astype(jnp.float32)))
+            row["fwd_peak_mb"] = round(peak_stats_mb(dev) - base, 1)
+            del o
+            g = gj(params, image, feats)
+            float(jnp.sum(jax.tree_util.tree_leaves(g)[0]
+                          .astype(jnp.float32)))
+            row["bwd_peak_mb"] = round(peak_stats_mb(dev) - base, 1)
+            row["method"] = "memory_stats_delta"
+            del g
+        else:
+            row["fwd_peak_mb"] = round(
+                bisect_peak_mb(fj, (params, image, feats)), 1)
+            row["bwd_peak_mb"] = round(
+                bisect_peak_mb(gj, (params, image, feats)), 1)
+            row["method"] = (
+                f"oom_bisection(step={STEP_MB}MB, hbm={HBM_TOTAL_MB}MB): "
+                "peak = HBM - largest coexisting filler; includes weights "
+                "+ inputs + runtime overhead")
+
         out[f"{name}_{img}_{embed}_{lr}"] = row
         print(name, img, row, flush=True)
-        del g, params, image, feats
+        del params, image, feats
       except Exception as e:  # e.g. JAFAR r32 exceeds one v5e's HBM
         print(f"{name} {img}: {type(e).__name__}: {str(e)[:160]}", flush=True)
         out[f"{name}_{img}_{embed}_{lr}"] = {"error": str(e)[:160]}
@@ -111,8 +161,11 @@ def main():
                     and row.get("dtype") == "bfloat16"):
                 row["fwd_mem_measured_mb"] = r["fwd_peak_mb"]
                 row["bwd_mem_measured_mb"] = r["bwd_peak_mb"]
+                row["mem_measured_method"] = r["method"]
     with open(path, "w") as f:
         json.dump(rows, f, indent=1)
+    with open("benchmarks/measured_mem.json", "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
 
