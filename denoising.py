@@ -69,12 +69,15 @@ def main(argv):
             val_root, transform=lambda im: image_transform(im, dcfg.img_size)
         ) if val_root else ds
 
-        # Small corpora: keep the transformed stack resident in HBM and
-        # gather batches on device (per-step host traffic would otherwise
-        # dominate through the host<->device tunnel).
+        # Small corpora: keep the transformed stack resident in HBM, gather
+        # batches on device, and scan log_every train steps per dispatch
+        # (per-step host traffic + dispatch would otherwise dominate
+        # through the host<->device tunnel).
         if len(ds) <= cfg.get("device_cache_max_images", 512):
-            train_iter = device_cached_batches(
-                ds, cfg["train_dataloader"]["batch_size"], shuffle=True)
+            from naf_tpu.data import device_cached_stack
+
+            device_stack = device_cached_stack(ds)
+            train_iter = None
             val_iter = device_cached_batches(
                 val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False)
         else:
@@ -93,7 +96,11 @@ def main(argv):
                 num_workers=2, drop_last=True,
             ))
 
-    params = train_denoiser(model, train_iter, dcfg)
+    params = train_denoiser(
+        model, train_iter, dcfg,
+        device_stack=locals().get("device_stack"),
+        batch_size=cfg["train_dataloader"]["batch_size"],
+    )
     metrics = validate_denoiser(model, params, val_iter, dcfg)
     print(f"validation: PSNR {metrics['psnr']:.2f} dB, SSIM {metrics['ssim']:.4f}")
     return metrics

@@ -7,7 +7,10 @@ from naf_tpu.data.datasets import (  # noqa: F401
     KITTI360Dataset,
     VOCDataset,
 )
-from naf_tpu.data.device_cache import device_cached_batches  # noqa: F401
+from naf_tpu.data.device_cache import (  # noqa: F401
+    device_cached_batches,
+    device_cached_stack,
+)
 from naf_tpu.data.loader import DataLoader  # noqa: F401
 from naf_tpu.data.transforms import image_transform, label_transform  # noqa: F401
 

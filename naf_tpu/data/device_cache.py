@@ -22,7 +22,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_cached_batches"]
+__all__ = ["device_cached_batches", "device_cached_stack"]
+
+
+def device_cached_stack(dataset) -> jax.Array:
+    """Upload the whole transformed dataset once: (N, H, W, C) float32."""
+    imgs = np.stack([np.asarray(dataset[i]["image"], np.float32)
+                     for i in range(len(dataset))])
+    return jax.device_put(jnp.asarray(imgs))
 
 
 def device_cached_batches(dataset, batch_size: int, shuffle: bool = True,
@@ -36,9 +43,7 @@ def device_cached_batches(dataset, batch_size: int, shuffle: bool = True,
     iterator samples with replacement instead of epoch permutations.
     """
     n = len(dataset)
-    imgs = np.stack([np.asarray(dataset[i]["image"], np.float32)
-                     for i in range(n)])
-    stack = jax.device_put(jnp.asarray(imgs))
+    stack = device_cached_stack(dataset)
     take = jax.jit(lambda idx: jnp.take(stack, idx, axis=0))
     rng = np.random.RandomState(seed)
 
