@@ -86,66 +86,65 @@ def peak_stats_mb(dev):
     return None if stats is None else stats["peak_bytes_in_use"] / 2 ** 20
 
 
-def main():
+METHOD = (
+    f"oom_bisection(step={STEP_MB}MB, hbm={HBM_TOTAL_MB}MB): "
+    "peak = HBM - largest coexisting filler; includes weights "
+    "+ inputs + runtime overhead; one probe per process (a single OOM "
+    "trial poisons the axon runtime for the rest of the process, so "
+    "post-first-OOM trials conservatively read as OOM — upper bias "
+    "<= 1 step)")
+
+
+def probe(name: str, img: int, embed: int, lr: int, direction: str) -> float:
+    """One bisection in THIS process; returns peak MB (nan = never fits)."""
     from naf_tpu.models.registry import ModelWrapper
 
-    dev = jax.devices()[0]
-    use_stats = peak_stats_mb(dev) is not None
-    print(f"memory_stats available: {use_stats}")
+    dtype = jnp.bfloat16
+    wrapper = ModelWrapper(
+        name, embed_dim=embed, ratio=img // lr,
+        init_shapes=((1, img, img, 3), (1, lr, lr, embed), (img, img)),
+    )
+    model = wrapper.model
+    params = jax.tree.map(lambda a: a.astype(dtype), wrapper.params)
+    key = jax.random.PRNGKey(0)
+    image = jax.random.normal(key, (1, img, img, 3), dtype)
+    feats = jax.random.normal(key, (1, lr, lr, embed), dtype)
+
+    def fwd(p, im, ft):
+        return model.apply({"params": p}, im, ft, (img, img))
+
+    def loss(p, im, ft):
+        return jnp.sum(fwd(p, im, ft).astype(jnp.float32) ** 2)
+
+    fn = jax.jit(fwd) if direction == "fwd" else jax.jit(jax.grad(loss))
+    return bisect_peak_mb(fn, (params, image, feats))
+
+
+def main():
+    """Orchestrate: one subprocess per (config, direction) — after any OOM
+    trial the axon runtime rejects all further allocations in that process
+    (observed: even persistent-cache reads fail RESOURCE_EXHAUSTED), so
+    every probe gets a fresh process."""
+    import subprocess
 
     out = {}
-    dtype = jnp.bfloat16
     for name, img, embed, lr in CONFIGS:
-      try:
-        jax.clear_caches()
-        wrapper = ModelWrapper(
-            name, embed_dim=embed, ratio=img // lr,
-            init_shapes=((1, img, img, 3), (1, lr, lr, embed), (img, img)),
-        )
-        model = wrapper.model
-        params = jax.tree.map(lambda a: a.astype(dtype), wrapper.params)
-        key = jax.random.PRNGKey(0)
-        image = jax.random.normal(key, (1, img, img, 3), dtype)
-        feats = jax.random.normal(key, (1, lr, lr, embed), dtype)
-
-        def fwd(p, im, ft):
-            return model.apply({"params": p}, im, ft, (img, img))
-
-        def loss(p, im, ft):
-            return jnp.sum(fwd(p, im, ft).astype(jnp.float32) ** 2)
-
-        fj = jax.jit(fwd)
-        gj = jax.jit(jax.grad(loss))
         row = {}
-
-        if use_stats:
-            base = peak_stats_mb(dev)
-            o = fj(params, image, feats)
-            float(jnp.sum(o.astype(jnp.float32)))
-            row["fwd_peak_mb"] = round(peak_stats_mb(dev) - base, 1)
-            del o
-            g = gj(params, image, feats)
-            float(jnp.sum(jax.tree_util.tree_leaves(g)[0]
-                          .astype(jnp.float32)))
-            row["bwd_peak_mb"] = round(peak_stats_mb(dev) - base, 1)
-            row["method"] = "memory_stats_delta"
-            del g
-        else:
-            row["fwd_peak_mb"] = round(
-                bisect_peak_mb(fj, (params, image, feats)), 1)
-            row["bwd_peak_mb"] = round(
-                bisect_peak_mb(gj, (params, image, feats)), 1)
-            row["method"] = (
-                f"oom_bisection(step={STEP_MB}MB, hbm={HBM_TOTAL_MB}MB): "
-                "peak = HBM - largest coexisting filler; includes weights "
-                "+ inputs + runtime overhead")
-
+        for direction in ("fwd", "bwd"):
+            r = subprocess.run(
+                [sys.executable, __file__, "probe", name, str(img),
+                 str(embed), str(lr), direction],
+                capture_output=True, text=True, timeout=900)
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            try:
+                row[f"{direction}_peak_mb"] = json.loads(line)["peak_mb"]
+            except (json.JSONDecodeError, KeyError):
+                row[f"{direction}_error"] = (
+                    (r.stderr or r.stdout).strip()[-200:] or "no output")
+        if "fwd_peak_mb" in row or "bwd_peak_mb" in row:
+            row["method"] = METHOD
         out[f"{name}_{img}_{embed}_{lr}"] = row
         print(name, img, row, flush=True)
-        del params, image, feats
-      except Exception as e:  # e.g. JAFAR r32 exceeds one v5e's HBM
-        print(f"{name} {img}: {type(e).__name__}: {str(e)[:160]}", flush=True)
-        out[f"{name}_{img}_{embed}_{lr}"] = {"error": str(e)[:160]}
 
     # merge onto results.json rows
     path = "benchmarks/results.json"
@@ -159,8 +158,8 @@ def main():
                     and row.get("embed_dim") == embed
                     and row.get("lr_size") == lr
                     and row.get("dtype") == "bfloat16"):
-                row["fwd_mem_measured_mb"] = r["fwd_peak_mb"]
-                row["bwd_mem_measured_mb"] = r["bwd_peak_mb"]
+                row["fwd_mem_measured_mb"] = r.get("fwd_peak_mb")
+                row["bwd_mem_measured_mb"] = r.get("bwd_peak_mb")
                 row["mem_measured_method"] = r["method"]
     with open(path, "w") as f:
         json.dump(rows, f, indent=1)
@@ -170,4 +169,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "probe":
+        _, _, name, img, embed, lr, direction = sys.argv
+        peak = probe(name, int(img), int(embed), int(lr), direction)
+        print(json.dumps({"peak_mb": round(peak, 1)}))
+    else:
+        main()
