@@ -47,6 +47,7 @@ def main(argv):
         dcfg.train_steps = 1
         dcfg.val_steps = 1
 
+    device_stack = None
     if synthetic:
         train_iter = synthetic_images(cfg["train_dataloader"]["batch_size"],
                                       dcfg.img_size)
@@ -72,25 +73,31 @@ def main(argv):
         # Small corpora: keep the transformed stack resident in HBM, gather
         # batches on device, and scan log_every train steps per dispatch
         # (per-step host traffic + dispatch would otherwise dominate
-        # through the host<->device tunnel).
-        if len(ds) <= cfg.get("device_cache_max_images", 512):
+        # through the host<->device tunnel). Train and val caches are gated
+        # INDEPENDENTLY on their own corpus sizes — a large --val-root must
+        # not be uploaded wholesale to HBM (one OOM poisons the process).
+        cache_max = cfg.get("device_cache_max_images", 512)
+
+        def forever(loader):
+            while True:
+                for b in loader:
+                    yield b["image"]
+
+        if len(ds) <= cache_max:
             from naf_tpu.data import device_cached_stack
 
             device_stack = device_cached_stack(ds)
             train_iter = None
-            val_iter = device_cached_batches(
-                val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False)
         else:
-            def forever(loader):
-                while True:
-                    for b in loader:
-                        yield b["image"]
-
             train_iter = forever(DataLoader(
                 ds, cfg["train_dataloader"]["batch_size"], shuffle=True,
                 num_workers=cfg["train_dataloader"].get("num_workers", 4),
                 drop_last=True,
             ))
+        if len(val_ds) <= cache_max:
+            val_iter = device_cached_batches(
+                val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False)
+        else:
             val_iter = forever(DataLoader(
                 val_ds, cfg["val_dataloader"]["batch_size"], shuffle=False,
                 num_workers=2, drop_last=True,
@@ -98,7 +105,7 @@ def main(argv):
 
     params = train_denoiser(
         model, train_iter, dcfg,
-        device_stack=locals().get("device_stack"),
+        device_stack=device_stack,
         batch_size=cfg["train_dataloader"]["batch_size"],
     )
     metrics = validate_denoiser(model, params, val_iter, dcfg)

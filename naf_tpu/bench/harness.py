@@ -46,17 +46,15 @@ __all__ = [
 
 
 def _config_from_factor(factor: str, value: int) -> dict:
+    """Reference protocol (test/test_utils.py:79-83 create_tensors): the
+    guidance image is always (img_size, img_size) and the OUTPUT is always
+    (ratio*lr_size, ratio*lr_size) — the two are independent. Sweeping
+    img_size varies only the guidance resolution (output stays 448^2 at
+    r16/lr28); sweeping ratio varies only the output (guidance stays 448^2,
+    so the r32 row is a 448^2 image driving an 896^2 output)."""
     cfg = dict(DEFAULTS)
     cfg[factor] = value
-    if factor == "ratio":
-        cfg["img_size"] = cfg["lr_size"] * value
-    elif factor == "img_size":
-        # Reference protocol (test/test_utils.py:45-52): sweeping img_size
-        # keeps lr_size at its default (28) — the effective ratio varies
-        # implicitly (112 -> r4, 896 -> r32), it is NOT held at 16.
-        cfg["ratio"] = max(value // cfg["lr_size"], 1)
-    elif factor == "lr_size":
-        cfg["img_size"] = value * cfg["ratio"]
+    cfg["out_size"] = cfg["ratio"] * cfg["lr_size"]
     return cfg
 
 
@@ -89,14 +87,18 @@ def _flops_g(compiled) -> Optional[float]:
 
 def benchmark_model(
     name: str, img_size: int, embed_dim: int, lr_size: int,
+    out_size: Optional[int] = None,
     dtype=jnp.float32, iters: int = 10, backward: bool = True,
 ) -> Dict:
-    ratio = img_size // lr_size
+    # Reference create_tensors (test/test_utils.py:79-83): output size is
+    # ratio*lr_size, decoupled from the guidance-image size.
+    out_size = out_size if out_size is not None else img_size
+    ratio = out_size // lr_size
     wrapper = ModelWrapper(
         name, embed_dim=embed_dim, ratio=ratio,
         init_shapes=((1, img_size, img_size, 3),
                      (1, lr_size, lr_size, embed_dim),
-                     (img_size, img_size)),
+                     (out_size, out_size)),
     )
     rng = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
@@ -106,12 +108,12 @@ def benchmark_model(
 
     def fwd(params, image, feats):
         return wrapper.model.apply(
-            {"params": params}, image, feats, (img_size, img_size)
+            {"params": params}, image, feats, (out_size, out_size)
         )
 
     result: Dict = {
         "model": name, "img_size": img_size, "embed_dim": embed_dim,
-        "ratio": ratio, "lr_size": lr_size,
+        "ratio": ratio, "lr_size": lr_size, "out_size": out_size,
         "params": _count_params(wrapper.params),
         "dtype": jnp.dtype(dtype).name,
         # *_mem_mb semantics: analytical XLA memory_analysis (temp + output
@@ -157,6 +159,41 @@ def benchmark_model(
                     ),
                     3,
                 )
+                # Sanity gate: a parameterized model's backward (forward +
+                # grads + update) cannot be faster than its forward. A
+                # violating row is a timing artifact (dispatch floor /
+                # cross-process variance at tiny shapes) — re-measure once
+                # with a longer chain, and if it persists flag the row
+                # rather than archiving a physically impossible number.
+                if (
+                    result["params"] > 0
+                    and result.get("fwd_ms") is not None
+                    and result["bwd_ms"] < result["fwd_ms"]
+                ):
+                    remeasured = round(
+                        device_time_ms(
+                            train_step, params, head, image, feats,
+                            iters=max(iters * 3, 30),
+                        ),
+                        3,
+                    )
+                    result["bwd_ms"] = max(result["bwd_ms"], remeasured)
+                    if result["bwd_ms"] < result["fwd_ms"]:
+                        result["fwd_ms_remeasured"] = round(
+                            device_time_ms(
+                                fwd, params, image, feats,
+                                iters=max(iters * 3, 30),
+                            ),
+                            3,
+                        )
+                        if result["bwd_ms"] < result["fwd_ms_remeasured"]:
+                            result["suspect"] = (
+                                "bwd_ms < fwd_ms after re-measurement; "
+                                "treat both as dispatch-floor bound"
+                            )
+                        else:
+                            # original fwd number was the artifact
+                            result["fwd_ms"] = result.pop("fwd_ms_remeasured")
                 result["bwd_mem_mb"] = _mem_mb(c_bwd)
                 result.pop("bwd_error", None)
                 result.pop("bwd_retryable", None)
@@ -272,7 +309,7 @@ def run_sweep(
             jax.clear_caches()
     key = lambda r: (r.get("model"), r.get("factor"), r.get("img_size"),
                      r.get("embed_dim"), r.get("ratio"), r.get("lr_size"),
-                     r.get("dtype"))
+                     r.get("out_size"), r.get("dtype"))
     merged = {key(r): r for r in existing}
     for r in results:
         merged[key(r)] = _merge_row(merged.get(key(r)), r)
@@ -289,6 +326,7 @@ def _bench_one(name: str, cfg: dict, dtype, backward: bool) -> dict:
         try:
             return benchmark_model(
                 name, cfg["img_size"], cfg["embed_dim"], cfg["lr_size"],
+                out_size=cfg.get("out_size"),
                 dtype=dtype, backward=backward,
             )
         except NotImplementedError as e:
@@ -326,8 +364,14 @@ def _merge_row(old: Optional[dict], new: dict) -> dict:
     always carried onto the refreshed row."""
     if not old:
         return new
+    # Carry the full measured-memory field group (values + method + the
+    # measured-at stamp written by tools/measure_mem.py) so refreshed rows
+    # keep their provenance, and stale measurements stay identifiable by
+    # their mem_measured_at revision.
     measured = {k: v for k, v in old.items()
-                if k.endswith("_mem_measured_mb") and k not in new}
+                if (k.endswith("_mem_measured_mb")
+                    or k in ("mem_measured_method", "mem_measured_at"))
+                and k not in new}
     if measured:
         new = {**new, **measured}
     if "bwd_ms" in new:

@@ -712,6 +712,12 @@ def _fused_q_impl(
     Returns: (B, H, W, Cv) — or, without out_acc, the banded
       (B, band_cells * r_h, W, Cv) slab.
     """
+    _KNOWN_DIAG = {"", "nopool", "nocolpool", "norowblend", "norope",
+                   "noqk", "nomask", "nosum"}
+    if _diag not in _KNOWN_DIAG:
+        # An unknown ablation flag would silently time the FULL kernel while
+        # being reported as a stage floor (tools/fusedq_floor.py).
+        raise ValueError(f"unknown _diag={_diag!r}; known: {sorted(_KNOWN_DIAG)}")
     b, hi, wi, c = enc.shape
     hq, wq = rows_tab.shape[0], cols_tab.shape[0]
     _, hk, wk, _ = keys.shape

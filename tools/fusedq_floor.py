@@ -150,8 +150,12 @@ def main():
         print(f"stream-floor wt={wt}: {t:.2f} ms", flush=True)
 
     # ---- full-kernel diag ablations (auto wt) ----
-    for dflag in ("", "nopool", "nocolpool", "norowblend", "noqk", "noav",
-                  "noexp", "nomask", "nosum", "nonorm"):
+    # NOTE: keep this tuple in sync with the _diag branches actually handled
+    # in kernels/na2d_fused_q.py — the bf16 transposed-softmax rewrite
+    # replaced noav/noexp/nonorm with noqk/nosum; an unknown flag would
+    # silently time the full kernel while being reported as a stage floor.
+    for dflag in ("", "nopool", "nocolpool", "norowblend", "norope", "noqk",
+                  "nomask", "nosum"):
         def full(enc, keys, feats, rows_tab, cols_tab, _d=dflag):
             return _fused_q_impl(
                 enc, keys, feats, rows_tab, cols_tab, d,
