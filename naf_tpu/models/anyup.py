@@ -76,18 +76,80 @@ class AnyUpsampler(nn.Module):
         return self.attention(queries, keys, features)
 
 
-def convert_checkpoint(state_dict):
-    """STUB — unconditionally raises ``NotImplementedError``.
+def convert_checkpoint(state_dict, img_layers: int = 2):
+    """Convert a torch AnyUp state dict to the ``AnyUpsampler`` param tree.
 
-    No wimmerth/anyup hub checkpoint is reachable in this environment (no
-    network egress), so the concrete tensor-name key map cannot be written
-    or validated. When a local checkpoint exists, implement the mapping here
-    (conv kernels OIHW->HWIO, norm affine renames) before loading; until
-    then any AnyUpsampler instance is random-init (timing-equivalent to the
-    trained model, semantics-different — benchmark rows note this).
+    The learned state of this upsampler is its conv image encoder (the
+    windowed cross-attention is parameter-free: queries/keys come from the
+    shared encoder and the values are the RAW input features — that is the
+    feature-agnostic design). The expected tensor layout is the standard
+    ``encoder()``-Sequential convention shared with the NAF checkpoint
+    (reference src/layers/convolutions.py:67-92):
+
+        {prefix}.0.weight / .0.bias                  entry conv (OIHW)
+        {prefix}.{1+i}.norm{1,2}.weight / .bias      EncBlock GroupNorms
+        {prefix}.{1+i}.conv{1,2}.weight / .bias      EncBlock convs (OIHW)
+
+    where ``prefix`` is auto-detected from the keys present (``encoder``,
+    ``upsampler.encoder``, ``model.encoder``, or bare indices). Conv kernels
+    transpose OIHW -> HWIO; GroupNorm weight/bias map to scale/bias. Strict
+    accounting: any checkpoint key not consumed raises KeyError with the
+    leftovers listed, so a hub layout drift is loud, not silent.
+
+    No wimmerth/anyup checkpoint is reachable in this environment (no
+    network egress), so this mapping is validated against synthetically
+    keyed state dicts only (tests/test_models_zoo.py); a locally downloaded
+    checkpoint whose keys follow a different scheme will fail loudly here
+    and needs only a prefix/rename extension, not a redesign.
     """
-    raise NotImplementedError(
-        "No AnyUp hub checkpoint is available in this environment (no "
-        "network egress). Download wimmerth/anyup locally, then extend this "
-        "converter with the concrete key map before loading."
-    )
+    from naf_tpu.convert import _KeyTracker, convert_encoder
+
+    keys = list(state_dict.keys())
+    if not keys:
+        raise KeyError("empty state dict")
+    for prefix in ("encoder", "upsampler.encoder", "model.encoder", ""):
+        probe = f"{prefix}.0.weight" if prefix else "0.weight"
+        if probe in keys:
+            break
+    else:
+        raise KeyError(
+            "could not locate the encoder entry conv in the checkpoint "
+            f"(tried encoder/upsampler.encoder/model.encoder/bare); keys: "
+            f"{sorted(keys)[:8]}..."
+        )
+    consumed: set = set()
+    tracked = _KeyTracker(state_dict, consumed)
+    params = {"encoder": convert_encoder(tracked, prefix, img_layers)}
+    leftovers = [k for k in keys if k not in consumed]
+    if leftovers:
+        raise KeyError(
+            "checkpoint keys not consumed by the AnyUp converter (would be "
+            f"silently dropped): {sorted(leftovers)}"
+        )
+    # Shape validation against the AnyUpsampler architecture (dim inferred
+    # from the stem): stem (kh, kw, 3, dim), block convs (kh, kw, dim, dim),
+    # all norms/biases (dim,).
+    enc = params["encoder"]
+    stem = enc["stem"]["conv"]["kernel"]
+    if stem.ndim != 4 or stem.shape[2] != 3:
+        raise ValueError(
+            f"stem kernel (HWIO) must have 3 input channels, got {stem.shape}"
+        )
+    dim = stem.shape[3]
+    for bname, block in enc.items():
+        if not bname.startswith("block"):
+            continue
+        for cname in ("conv1", "conv2"):
+            kshape = block[cname]["conv"]["kernel"].shape
+            if kshape[2:] != (dim, dim):
+                raise ValueError(
+                    f"encoder.{bname}.{cname}: expected (*, *, {dim}, {dim}) "
+                    f"HWIO kernel, got {kshape}"
+                )
+        for nname in ("norm1", "norm2"):
+            if block[nname]["scale"].shape != (dim,):
+                raise ValueError(
+                    f"encoder.{bname}.{nname}: expected ({dim},) affine, got "
+                    f"{block[nname]['scale'].shape}"
+                )
+    return params

@@ -104,6 +104,10 @@ class ModelWrapper:
             from naf_tpu.convert import naf_params_from_torch
 
             return naf_params_from_torch(state)
+        if self.name == "AnyUp":
+            from naf_tpu.models.anyup import convert_checkpoint
+
+            return convert_checkpoint(state)
         raise NotImplementedError(
             f"no torch-checkpoint converter registered for {self.name}"
         )

@@ -188,3 +188,63 @@ def test_featup_checkpoint_key_remap():
     out = w2(jnp.zeros((1, 32, 32, 3)), jnp.ones((1, 2, 2, 32)), (32, 32))
     assert out.shape == (1, 32, 32, 32)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_anyup_convert_checkpoint_roundtrip():
+    """AnyUp converter (models/anyup.py:convert_checkpoint): a synthetically
+    keyed torch-layout state dict (OIHW convs, GroupNorm weight/bias under
+    the encoder()-Sequential naming) converts to the exact AnyUpsampler
+    param tree. No hub checkpoint is reachable in this environment, so this
+    validates the key map + shape checks the converter will apply to a real
+    wimmerth/anyup download (reference wrapper src/model/anyup.py:8-15)."""
+    from naf_tpu.models.anyup import AnyUpsampler, convert_checkpoint
+
+    m = AnyUpsampler(dim=32, groups=4, radius=1, img_layers=2)
+    img, feats = _data(hr=32, lr=8)
+    variables = m.init(jax.random.PRNGKey(1), img, feats, (32, 32))
+    want = variables["params"]
+
+    # Build the torch-side state dict from the flax tree (kernel HWIO->OIHW).
+    rng = np.random.RandomState(3)
+    state = {}
+
+    def _emit(prefix, tree):
+        state[f"{prefix}.weight"] = np.transpose(
+            rng.randn(*tree["conv"]["kernel"].shape).astype(np.float32),
+            (3, 2, 0, 1))
+        state[f"{prefix}.bias"] = rng.randn(
+            *tree["conv"]["bias"].shape).astype(np.float32)
+
+    _emit("encoder.0", want["encoder"]["stem"])
+    for i in (0, 1):
+        b = want["encoder"][f"block{i}"]
+        t = f"encoder.{i + 1}"
+        for n in ("norm1", "norm2"):
+            state[f"{t}.{n}.weight"] = rng.randn(32).astype(np.float32)
+            state[f"{t}.{n}.bias"] = rng.randn(32).astype(np.float32)
+        _emit(f"{t}.conv1", b["conv1"])
+        _emit(f"{t}.conv2", b["conv2"])
+
+    got = convert_checkpoint(state)
+    # tree structure matches the model's init tree exactly
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(jnp.shape, got)
+    ) == jax.tree_util.tree_structure(jax.tree.map(jnp.shape, want))
+    assert jax.tree.map(jnp.shape, got) == jax.tree.map(jnp.shape, want)
+    # layout conversion is the transpose inverse
+    np.testing.assert_array_equal(
+        got["encoder"]["stem"]["conv"]["kernel"],
+        np.transpose(state["encoder.0.weight"], (2, 3, 1, 0)))
+    # converted params run through the model
+    out = m.apply({"params": jax.tree.map(jnp.asarray, got)},
+                  img, feats, (32, 32))
+    assert out.shape == (1, 32, 32, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # loud failures: unconsumed keys and shape drift
+    with pytest.raises(KeyError, match="not consumed"):
+        convert_checkpoint({**state, "decoder.0.weight": state["encoder.0.weight"]})
+    bad = dict(state)
+    bad["encoder.1.conv1.weight"] = rng.randn(32, 16, 3, 3).astype(np.float32)
+    with pytest.raises(ValueError, match="conv1"):
+        convert_checkpoint(bad)
