@@ -108,7 +108,12 @@ def main(argv):
         device_stack=device_stack,
         batch_size=cfg["train_dataloader"]["batch_size"],
     )
-    metrics = validate_denoiser(model, params, val_iter, dcfg)
+    import os
+
+    metrics = validate_denoiser(
+        model, params, val_iter, dcfg,
+        viz_path=os.path.join(dcfg.log_dir, "val_panel.png"),
+    )
     print(f"validation: PSNR {metrics['psnr']:.2f} dB, SSIM {metrics['ssim']:.4f}")
     return metrics
 

@@ -23,10 +23,11 @@ the output. Keys are computed separately by the separable collapse
 RoPE.pooled (naf_tpu/nn/rope.py) -- also without touching the H x W grid.
 
 K/V union tiles are built host-side by a single 1 KB-row gather over a
-cell-major source; K is block-diag-expanded so each head's QK is one
-128-contraction matmul on a 128-aligned lane slice (q holds g = lcm(d,128)/d
-heads per aligned slice; head j's K occupies sub-lanes [j*d, (j+1)*d) of its
-block, zeros elsewhere).
+cell-major source, RAW (no zero padding shipped through HBM); each head's
+block-diag QK operand — head j's K occupying lanes [j*d, (j+1)*d) of its
+g*d block (g = lcm(d,128)/d heads share q's aligned lane slice), zeros
+elsewhere — is expanded in-VMEM on the MXU via a 0/1 diagonal matmul, so
+the QK stays one 128-contraction matmul per head.
 
 Inference-only (training grids are small; the modular path is used there).
 Replaces: natten fused NA + the pool/rope glue around it
@@ -174,26 +175,32 @@ def _cell_index_table(hk, wk, bc_h, bc_w, kernel, cell0=0, n_cells=None):
     return idx.astype(np.int32)
 
 
-def _build_tiles_q(k_scaled, v, g, bc_h, bc_w, kernel, cell0=0, n_cells=None):
-    """Host-side K2/V union tiles via one 1KB-row gather each.
+def _build_tiles_q(k_scaled, v, g, bc_h, bc_w, kernel, cell0=0, n_cells=None,
+                   idx=None):
+    """Host-side K/V union tiles via one 1KB-row gather each.
 
     k_scaled: (b, hk, wk, n, d) with softmax scale folded in.
-    Returns k2 (b, nCH, nCW, 128, n*g*d) block-diag-expanded per head and
-    vt (b, nCH, nCW, 128, n*dv) raw cell rows.
+    idx: optional precomputed (traced) cell-index table — used by the
+      spatially-sharded path, where the band origin is dynamic per device.
+    Returns k2 (b, nCH, nCW, 128, n*d) RAW per-head cell rows and
+    vt (b, nCH, nCW, 128, n*dv) raw cell rows. The per-head block-diag QK
+    operand (head j of a group occupying lanes [j*d, (j+1)*d) of a g*d
+    block, zeros elsewhere) is expanded IN-KERNEL on the MXU via a 0/1
+    diagonal matmul — gathering pre-expanded tiles shipped g x the K bytes
+    through HBM twice (gather write + kernel read; ~0.27 GB/pass at
+    448^2 -> 2048^2) for zeros the MXU can materialize for free.
     """
     b, hk, wk, n, d = k_scaled.shape
     dv = v.shape[-1]
-    p_groups = n // g
-    gd = g * d
-    idx = jnp.asarray(
-        _cell_index_table(hk, wk, bc_h, bc_w, kernel, cell0, n_cells)
-    )
+    if idx is None:
+        idx = jnp.asarray(
+            _cell_index_table(hk, wk, bc_h, bc_w, kernel, cell0, n_cells)
+        )
 
-    eye = jnp.eye(g, dtype=k_scaled.dtype)  # (j_head, j_lane)
-    kr = k_scaled.reshape(b, hk * wk, p_groups, g, 1, d)
-    ksrc = (kr * eye[:, :, None]).reshape(b, hk * wk, n * gd)
-    ksrc = jnp.pad(ksrc, ((0, 0), (0, 1), (0, 0)))
-    k2 = jnp.take(ksrc, idx, axis=1)  # (b, nCH, nCW, 128, n*gd)
+    ksrc = jnp.pad(
+        k_scaled.reshape(b, hk * wk, n * d), ((0, 0), (0, 1), (0, 0))
+    )
+    k2 = jnp.take(ksrc, idx, axis=1)  # (b, nCH, nCW, 128, n*d)
 
     vsrc = jnp.pad(v.reshape(b, hk * wk, n * dv), ((0, 0), (0, 1), (0, 0)))
     vt = jnp.take(vsrc, idx, axis=1)  # (b, nCH, nCW, 128, n*dv)
@@ -202,7 +209,7 @@ def _build_tiles_q(k_scaled, v, g, bc_h, bc_w, kernel, cell0=0, n_cells=None):
 
 def _kernel(
     enc_ref,   # (1, ih|bh, iwe|bw, C) VMEM encoder tile (Element blocks)
-    k2_ref,    # (1, 1, 1, 128, n*gd) VMEM block-diag K union tile
+    k2_ref,    # (1, 1, 1, 128, n*dp) VMEM raw K union tile (cells x heads)
     v_ref,     # (1, 1, 1, 128, n*dv) VMEM V union tile
     rows_ref,  # (bh, 2C) VMEM row cos|sin table slice
     cols_ref,  # (bw, 2C) VMEM col cos|sin table slice
@@ -228,12 +235,14 @@ def _kernel(
     w_tiles: int = 1,       # merged column tiles per program
     diag: str = "",         # timing-only ablations ("noexp"/"nomask"/"norope")
     rot_in_kernel: bool = False,  # enc arrives WITHOUT the pre-rotated copy
+    cell0_ref=None,         # SMEM (1,) int32: dynamic band origin (sharded)
 ):
     kk = kernel_size
     nh = kk // 2
     kb_h = bc_h + kk - 1
     kb_w = bc_w + kk - 1
-    ci0 = cell0 + pl.program_id(1) * bc_h
+    c0 = cell0 if cell0_ref is None else cell0_ref[0]
+    ci0 = c0 + pl.program_id(1) * bc_h
     row0 = jnp.clip(ci0 - nh, 0, hk - kb_h)
 
     n = num_heads
@@ -296,8 +305,38 @@ def _kernel(
         cols_t = cols_ref[pl.ds(tt * bw, bw)]
         cos_c3 = cols_t[:, :c_dim][None]  # (1, bw, C)
         sin_c3 = cols_t[:, c_dim:][None]
-        k2_t = k2_ref[0, 0, tt]  # (128, n*gd)
+        k2_t = k2_ref[0, 0, tt]  # (128, n*dp) RAW per-head cell rows
         v_t = v_ref[0, 0, tt]    # (128, n*dv)
+        dp = c_dim // n
+        if g == 1:
+            # raw == block-diag when each head already fills its gd lanes
+            kms = [k2_t[:, h * gd : (h + 1) * gd] for h in range(n)]
+        else:
+            # Per-head block-diag QK operands from the raw group tile, ON
+            # THE MXU: km_h = kraw_p @ diag_j zeroes every lane outside
+            # head j's [j*dp, (j+1)*dp) range while keeping its values in
+            # place — exact (x*1), emitted in io dtype, chunk-invariant
+            # (built once per column tile), and it keeps the operand path
+            # MXU->MXU (a VPU where-mask here measured +2.2 ms in round 3).
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 0)
+            lane_o = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 1)
+            kms = []
+            for h in range(n):
+                p, j = divmod(h, g)
+                kraw_p = k2_t[:, p * gd : (p + 1) * gd]  # (128, g*dp)
+                diag_j = (
+                    (lane_i == lane_o)
+                    & (lane_o >= j * dp)
+                    & (lane_o < (j + 1) * dp)
+                ).astype(k2_t.dtype)
+                kms.append(
+                    jax.lax.dot_general(
+                        kraw_p, diag_j,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    ).astype(k2_t.dtype)  # exact: each value is x*1
+                )
 
         # ---- pool-up into the xup scratch (skipped when hi == hq) ----
         # BOTH RoPE table factors fold into the pool-up itself: the column
@@ -418,6 +457,12 @@ def _kernel(
                     cell_h_t = ci0 + (o0 + i_loc_t) // r_h
                     ws_h_t = jnp.clip(cell_h_t - nh, 0, hk - kk) - row0
                     ok_h_t = (t_idx_t >= ws_h_t) & (t_idx_t < ws_h_t + kk)
+                # NOTE round-5 negative results (measured, reverted): (a)
+                # replacing the f32 bias add with a bf16 0/1 mask multiply
+                # post-exp plus an MXU softmax sum lost 1.4-3.9 ms — an N=1
+                # ones-column sum dot pads N to 128 lanes (a full AV-matmul
+                # cost per head), and even the M=1 ones-row variant plus
+                # bf16 normalize was net slower than this VPU formulation.
                 bias_t = jnp.where(
                     ok_h_t & ok_w_t, 0.0, -1e30
                 ).astype(jnp.float32)  # (nc_pad, cq)
@@ -427,21 +472,33 @@ def _kernel(
                 for h in range(n):
                     p = h // g
                     qg = q2[:, p * gd : (p + 1) * gd]
-                    km = k2_t[:, h * gd : (h + 1) * gd]  # (128, gd)
+                    km = kms[h]  # (128, gd)
                     if diag == "noqk":  # timing ablation: skip QK matmuls
                         lts.append(jnp.sum(qg) + bias_t)
                         continue
-                    lts.append(
-                        jax.lax.dot_general(
-                            km, qg,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec,
-                        ) + bias_t
+                    lt = jax.lax.dot_general(
+                        km, qg,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
                     )
+                    if diag != "nobias":  # timing ablation: skip bias adds
+                        lt = lt + bias_t
+                    lts.append(lt)
                 outs = []
                 for h in range(n):
                     vm = v_t[:, h * dv : (h + 1) * dv]  # (128, dv)
+                    if diag == "noexp":  # timing ablation: skip exp+sum+norm
+                        en = (lts[h] * 1e-4).astype(vm.dtype)
+                        outs.append(
+                            jax.lax.dot_general(
+                                en, vm,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            ).astype(o_ref.dtype)
+                        )
+                        continue
                     e = jnp.exp2(lts[h])
                     if diag == "nosum":  # timing floor: skip sum+normalize
                         en = e.astype(vm.dtype)
@@ -483,7 +540,7 @@ def _kernel(
             for h in range(n):
                 p = h // g
                 qg = q2[:, p * gd : (p + 1) * gd]
-                km = k2_t[:, h * gd : (h + 1) * gd]  # (128, gd)
+                km = kms[h]  # (128, gd)
                 if diag == "noqk":  # timing ablation: skip the QK matmuls
                     logits.append(qg[:, :1] + bias)
                     continue
@@ -643,13 +700,14 @@ _fused_q_diff.defvjp(_fused_q_diff_fwd, _fused_q_diff_bwd)
     jax.jit,
     static_argnames=("rope_d_head", "num_heads", "kernel_size", "scale",
                      "interpret", "geometry", "row_cell0", "band_cells",
-                     "w_tiles", "enc_banded", "_diag"),
+                     "w_tiles", "enc_banded", "_diag", "full_hq"),
 )
 def naf_upsample_attention(
     enc, keys, values, rows_tab, cols_tab, rope_d_head=64, *,
     num_heads: int, kernel_size: int, scale=None, interpret: bool = False,
     geometry=None, row_cell0: int = 0, band_cells=None, out_acc=None,
     w_tiles=None, enc_banded: bool = False, _diag: str = "",
+    cell0_array=None, idx_table=None, full_hq=None,
 ):
     """Public entry. The standard full-grid call is differentiable (custom
     VJP through the pure-XLA twin — reference trains through this attention,
@@ -663,6 +721,7 @@ def naf_upsample_attention(
         and w_tiles is None
         and geometry is None
         and _diag == ""
+        and cell0_array is None
     )
     if plain:
         d = enc.shape[-1] // num_heads
@@ -677,7 +736,8 @@ def naf_upsample_attention(
         num_heads=num_heads, kernel_size=kernel_size, scale=scale,
         interpret=interpret, geometry=geometry, row_cell0=row_cell0,
         band_cells=band_cells, out_acc=out_acc, w_tiles=w_tiles,
-        enc_banded=enc_banded, _diag=_diag,
+        enc_banded=enc_banded, _diag=_diag, cell0_array=cell0_array,
+        idx_table=idx_table, full_hq=full_hq,
     )
 
 
@@ -686,6 +746,7 @@ def _fused_q_impl(
     num_heads: int, kernel_size: int, scale=None, interpret: bool = False,
     geometry=None, row_cell0: int = 0, band_cells=None, out_acc=None,
     w_tiles=None, enc_banded: bool = False, _diag: str = "",
+    cell0_array=None, idx_table=None, full_hq=None,
 ):
     """Fused pool-up + RoPE + cross-scale NA.
 
@@ -709,17 +770,36 @@ def _fused_q_impl(
         band_cells)) instead of the full grid — the full-resolution encoder
         output never needs to exist (banded two-pass encoder,
         naf_tpu/kernels/encoder_banded.py). Requires band_cells.
+      cell0_array: DYNAMIC band origin (int32 scalar array) — the
+        spatially-sharded path (naf_tpu/parallel.py): one traced program
+        serves every device, each seeing its own global first cell row via
+        SMEM. Requires band_cells, enc_banded-style local inputs (band-local
+        enc and rows_tab slices, row_cell0 == 0), idx_table, and full_hq.
+      idx_table: precomputed (traced) gather table for the band's K/V union
+        tiles — (nCH_local, nCW, 128) int32, a dynamic row-slice of the
+        full-grid `_cell_index_table`.
+      full_hq: global output height when rows_tab is a band-local slice.
     Returns: (B, H, W, Cv) — or, without out_acc, the banded
       (B, band_cells * r_h, W, Cv) slab.
     """
     _KNOWN_DIAG = {"", "nopool", "nocolpool", "norowblend", "norope",
-                   "noqk", "nomask", "nosum"}
+                   "noqk", "nomask", "nosum",
+                   "nobias", "noexp"}
     if _diag not in _KNOWN_DIAG:
         # An unknown ablation flag would silently time the FULL kernel while
         # being reported as a stage floor (tools/fusedq_floor.py).
         raise ValueError(f"unknown _diag={_diag!r}; known: {sorted(_KNOWN_DIAG)}")
+    if cell0_array is not None and (
+        row_cell0 != 0 or band_cells is None or idx_table is None
+        or full_hq is None
+    ):
+        raise ValueError(
+            "cell0_array (sharded band mode) requires row_cell0=0, "
+            "band_cells, idx_table, and full_hq"
+        )
     b, hi, wi, c = enc.shape
-    hq, wq = rows_tab.shape[0], cols_tab.shape[0]
+    hq = full_hq if full_hq is not None else rows_tab.shape[0]
+    wq = cols_tab.shape[0]
     _, hk, wk, _ = keys.shape
     cv = values.shape[-1]
     kk = kernel_size
@@ -784,7 +864,7 @@ def _fused_q_impl(
 
     k2, vt = _build_tiles_q(
         k_scaled, values.reshape(b, hk, wk, n, dv).astype(dtype),
-        g, bc_h, bc_w, kk, row_cell0, band_cells,
+        g, bc_h, bc_w, kk, row_cell0, band_cells, idx=idx_table,
     )
 
     rot_in_kernel = False
@@ -825,7 +905,7 @@ def _fused_q_impl(
 
     if w_tiles is None:
         w_tiles = _pick_w_tiles(
-            n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
+            n_cw, bh, bw, c, dv, n, gd // g, ih, iwe, pool_identity,
             enc.dtype.itemsize, rot_in_kernel,
         )
     wt = w_tiles
@@ -837,12 +917,18 @@ def _fused_q_impl(
             memory_space=pltpu.VMEM,
         )
     else:
-        need_w = (n_cw - 1) * iw + iwe
-        if need_w > wi:
-            enc = jnp.pad(enc, ((0, 0), (0, 0), (0, need_w - wi), (0, 0)))
         # Mosaic requires sublane-tile-aligned block offsets, and iw is
         # rarely 8-divisible; pre-slice the (cheap, low-res) encoder output
         # into a per-tile-column layout so every block index is regular.
+        # (Round-5 negative result, measured and reverted: reading the flat
+        # enc via 8-aligned pl.Element superset blocks with per-tile
+        # shifted pool matrices removes this stack pass from HBM but times
+        # 13.7 vs 13.5 ms at 448^2->2048^2 — the Element-block pipeline
+        # penalty outweighs the saved pass, consistent with the halo-tile
+        # finding in kernels/encoder_fused.py.)
+        need_w = (n_cw - 1) * iw + iwe
+        if need_w > wi:
+            enc = jnp.pad(enc, ((0, 0), (0, 0), (0, need_w - wi), (0, 0)))
         enc = jnp.stack(
             [enc[:, :, jj * iw : jj * iw + iwe] for jj in range(n_cw)],
             axis=1,
@@ -891,6 +977,10 @@ def _fused_q_impl(
     def kern(*refs):
         if out_acc is not None:
             refs = refs[:n_live_in] + refs[n_live_in + 1 :]  # drop alias ref
+        c0_r = None
+        if cell0_array is not None:
+            c0_r = refs[n_c0]
+            refs = refs[:n_c0] + refs[n_c0 + 1 :]
         if pool_identity:
             enc_r, k2_r, v_r, rows_r, cols_r, o_r = refs
             xc_r = xup_r = pcol_r = None
@@ -904,12 +994,12 @@ def _fused_q_impl(
             bc_h=bc_h, bc_w=bc_w, hk=hk, wk=wk, chunk_rows=chunk_rows,
             pool_identity=pool_identity, row_taps=row_taps,
             rope_d_head=rope_d_head, cell0=row_cell0, w_tiles=wt, diag=_diag,
-            rot_in_kernel=rot_in_kernel,
+            rot_in_kernel=rot_in_kernel, cell0_ref=c0_r,
         )
 
     in_specs = [
         enc_spec,
-        tile_spec(n * gd),
+        tile_spec(n * gd // g),  # RAW K cell rows (dp lanes per head)
         tile_spec(n * dv),
         rows_spec,
         cols_spec,
@@ -921,6 +1011,11 @@ def _fused_q_impl(
                          memory_space=pltpu.VMEM)
         )
         inputs.append(jnp.asarray(col_pool, jnp.float32))
+
+    n_c0 = len(inputs)
+    if cell0_array is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(cell0_array, jnp.int32).reshape(1))
 
     n_live_in = len(inputs)
     aliases = {}

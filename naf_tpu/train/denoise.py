@@ -190,8 +190,11 @@ def train_denoiser(model, data_iter: Optional[Iterator[np.ndarray]],
     return params
 
 
-def validate_denoiser(model, params, data_iter, cfg: DenoiseConfig):
-    """PSNR/SSIM over val batches (denoising.py:268-312)."""
+def validate_denoiser(model, params, data_iter, cfg: DenoiseConfig,
+                      viz_path: Optional[str] = None):
+    """PSNR/SSIM over val batches (denoising.py:268-312). With `viz_path`,
+    writes a [noisy | denoised | clean] panel PNG for the first val image —
+    the reference's TensorBoard image logging (denoising.py:218-222)."""
     noise_gen = NoiseGenerator(cfg.noise_type)
     img_hw = (cfg.img_size, cfg.img_size)
 
@@ -200,7 +203,7 @@ def validate_denoiser(model, params, data_iter, cfg: DenoiseConfig):
         noisy = noise_gen(rng, clean, cfg.noise_params)
         noisy_norm = (noisy - _IMAGENET_MEAN) / _IMAGENET_STD
         pred = jnp.clip(model.apply({"params": params}, noisy_norm, noisy, img_hw), 0, 1)
-        return psnr(pred, clean), ssim(pred, clean)
+        return psnr(pred, clean), ssim(pred, clean), noisy, pred
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
     psnrs, ssims = [], []
@@ -211,7 +214,20 @@ def validate_denoiser(model, params, data_iter, cfg: DenoiseConfig):
         if clean.shape[1:3] != img_hw:
             clean = resize_bilinear(clean, img_hw)
         rng, sub = jax.random.split(rng)
-        p, s = infer(params, clean, sub)
+        p, s, noisy, pred = infer(params, clean, sub)
+        if viz_path is not None and step == 0:
+            try:
+                from PIL import Image
+
+                panel = np.concatenate(
+                    [np.asarray(t[0], np.float32)
+                     for t in (noisy, pred, clean)], axis=1,
+                )
+                Image.fromarray(
+                    (np.clip(panel, 0, 1) * 255).astype(np.uint8)
+                ).save(viz_path)
+            except Exception as e:  # viz must never kill a run
+                print(f"denoise viz panel failed: {e}")
         psnrs.append(float(p))
         ssims.append(float(s))
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}

@@ -45,6 +45,7 @@ class TrainConfig:
     use_checkpointing: bool = False  # rematerialize the model forward
     log_every: int = 100  # train.py:27 FREQ
     ckpt_every: Optional[int] = None  # default: train_steps // 4
+    viz_every: Optional[int] = None  # default: ckpt_every; 0 disables
     log_dir: str = "runs/naf"
     seed: int = 0
     data_axis: str = "data"
@@ -105,6 +106,44 @@ def fold_step_key(seed: int, step: int) -> jax.Array:
     return jax.random.fold_in(jax.random.PRNGKey(seed), step)
 
 
+def make_viz_fn(model, backbone_apply, use_bf16: bool):
+    """jit'd (params, image_ups, image_back, lr_size, out_hw, crop_hw) ->
+    (hr_feats, lr_feats, pred) for qualitative panels — the distillation
+    triple at eval time (train=False, no coordinate augmentation). The
+    reference logs image panels to TensorBoard during training
+    (denoising.py:218-222; scalars train.py:139-158); here panels land as
+    PNGs next to metrics.jsonl."""
+
+    def viz(params, image_ups, image_back, lr_size, out_hw, crop_hw):
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        hr_feats = backbone_apply(image_back.astype(dtype))
+        lr_feats = backbone_apply(resize_bilinear(image_back, lr_size).astype(dtype))
+        img_hr = resize_bilinear(image_ups, crop_hw).astype(dtype)
+        p_c = jax.tree.map(lambda a: a.astype(dtype), params)
+        pred = model.apply({"params": p_c}, img_hr, lr_feats, out_hw)
+        return hr_feats, lr_feats, pred
+
+    return jax.jit(viz, static_argnames=("lr_size", "out_hw", "crop_hw"))
+
+
+def write_viz_panel(log_dir, step, image, hr_feats, lr_feats, pred):
+    """[image | PCA(lr) | PCA(pred) | PCA(hr target)] -> PNG. Joint PCA so
+    colors are comparable across panels (utils/visualization.py)."""
+    from naf_tpu.utils.visualization import plot_feats
+
+    path = os.path.join(log_dir, f"panel_step{step:07d}.png")
+    plot_feats(
+        np.asarray(image[0], np.float32),
+        [
+            np.asarray(lr_feats[0], np.float32),
+            np.asarray(pred[0], np.float32),
+            np.asarray(hr_feats[0], np.float32),
+        ],
+        path=path,
+    )
+    return path
+
+
 def train_upsampler(
     model,
     backbone,
@@ -149,6 +188,10 @@ def train_upsampler(
     log_dir = versioned_dir(cfg.log_dir)
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
     ckpt_every = cfg.ckpt_every or max(cfg.train_steps // 4, 1)
+    viz_every = ckpt_every if cfg.viz_every is None else cfg.viz_every
+    viz_fn = (
+        make_viz_fn(model, backbone, cfg.use_bf16) if viz_every else None
+    )
     ps = backbone.patch_size
     losses = []
     t0 = time.time()
@@ -191,6 +234,19 @@ def train_upsampler(
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
                 print(f"step {step}/{cfg.train_steps} loss {loss_v:.5f}")
+
+            if viz_fn is not None and (
+                (step + 1) % viz_every == 0 or step + 1 == cfg.train_steps
+            ):
+                try:
+                    hr_f, lr_f, pred = viz_fn(
+                        params, x_ups, x_back, lr_size, hr_hw, crop_hw
+                    )
+                    write_viz_panel(
+                        log_dir, step + 1, np.asarray(img), hr_f, lr_f, pred
+                    )
+                except Exception as e:  # viz must never kill a run
+                    print(f"viz panel failed at step {step + 1}: {e}")
 
             if (step + 1) % ckpt_every == 0 or step + 1 == cfg.train_steps:
                 save_checkpoint(log_dir, step + 1, params, opt_state)

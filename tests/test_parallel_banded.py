@@ -61,6 +61,33 @@ def test_mesh_sharded_inference_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_spatial_sharded_fused_q_matches_unsharded():
+    """The PRODUCTION path sharded: shard_map'd fused-q kernel (interpret on
+    the CPU mesh) with per-device dynamic band origins must match the
+    unsharded fused-q forward exactly (same kernel, same window rule)."""
+    from naf_tpu.models import NAF
+    from naf_tpu.parallel import make_mesh, naf_spatial_forward
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    model = NAF(na_impl="fused_q")  # flagship dims: 256, 4 heads, k9
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 32, 32, 384).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img[:1], feats[:1], (64, 64))[
+        "params"
+    ]
+    ref = model.apply({"params": params}, img, feats, (256, 256))
+    mesh = make_mesh(data=2, space=4)
+    out = naf_spatial_forward(
+        mesh, model, params, img, feats, (256, 256), interpret=True
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_adaptive_conv_matches_direct():
     rng = np.random.RandomState(2)
     src = rng.randn(2, 10, 11, 5).astype(np.float32)

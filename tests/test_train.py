@@ -98,6 +98,91 @@ def test_train_step_resamples_rope_augmentation():
     assert float(loss0) == float(loss0b), "step key not deterministic"
 
 
+def test_train_viz_panel_written(tmp_path):
+    """Qualitative PCA panels land next to metrics.jsonl during training
+    (reference logs TB image panels; here PNGs, utils/visualization.py)."""
+    import glob
+
+    backbone = PretrainedViTWrapper(
+        "vit_small_patch14_dinov2.lvd142m", num_heads=2
+    )
+    model = NAF(dim=32, heads_attn=2, heads_rope=2, kernel_size=5,
+                img_layers=1, na_impl="xla")
+    cfg = TrainConfig(
+        train_steps=1, img_size=224, batch_size=1, use_bf16=True,
+        log_every=1, log_dir=str(tmp_path), lr=1e-3, viz_every=1,
+    )
+    train_upsampler(model, backbone, _image_iter(1, 224), cfg)
+    panels = glob.glob(str(tmp_path) + "/**/panel_step*.png", recursive=True)
+    assert panels, "no viz panel written"
+
+
+def test_train_cli_mesh_selection():
+    """train.py's mesh flag: auto uses all devices when the batch divides,
+    falls back to single-device otherwise; data forces (or errors); none
+    disables (reference semantics: single device, train.py:55,68)."""
+    import pytest
+
+    from train import build_mesh
+
+    n = len(jax.devices())
+    assert n >= 8, "CPU mesh fixture"
+    m = build_mesh("auto", batch_size=8)
+    assert m is not None and m.shape["data"] == n
+    assert build_mesh("auto", batch_size=3) is None  # indivisible -> 1-dev
+    assert build_mesh("none", batch_size=8) is None
+    with pytest.raises(ValueError):
+        build_mesh("data", batch_size=3)
+
+
+def test_train_dp_mesh_matches_single_device(tmp_path):
+    """DP over the CPU mesh must reproduce the single-device trajectory
+    (replicated params + sharded batch + mean loss is the same program, up
+    to cross-device reduction order — hence f32 and a short horizon; bf16
+    grads make Adam's near-sign updates amplify last-bit psum differences
+    into O(lr) param deltas)."""
+    import json
+
+    from train import build_mesh
+
+    backbone = PretrainedViTWrapper(
+        "vit_small_patch14_dinov2.lvd142m", num_heads=2
+    )
+    model = NAF(dim=32, heads_attn=2, heads_rope=2, kernel_size=5,
+                img_layers=1, na_impl="xla")
+
+    def run(mesh, name):
+        log_dir = str(tmp_path / name)
+        cfg = TrainConfig(
+            train_steps=2, img_size=224, batch_size=8, use_bf16=False,
+            log_every=1, ckpt_every=100, log_dir=log_dir,
+            lr=1e-3, seed=0,
+        )
+        params = train_upsampler(
+            model, backbone, _image_iter(8, 224), cfg, mesh=mesh
+        )
+        import glob
+
+        metrics = sorted(glob.glob(log_dir + "/**/metrics.jsonl",
+                                   recursive=True))
+        losses = [
+            json.loads(l)["loss"]
+            for m in metrics for l in open(m) if l.strip()
+        ]
+        return params, losses
+
+    p1, losses1 = run(None, "single")
+    p8, losses8 = run(build_mesh("data", batch_size=8), "dp")
+    assert len(losses1) == len(losses8) >= 2
+    np.testing.assert_allclose(losses8, losses1, rtol=1e-4)
+    l1 = jax.tree.leaves(p1)[0]
+    l8 = jax.tree.leaves(p8)[0]
+    np.testing.assert_allclose(
+        np.asarray(l8, np.float32), np.asarray(l1, np.float32),
+        atol=5e-4, rtol=1e-3,
+    )
+
+
 def test_train_dp_mesh(tmp_path):
     from jax.sharding import Mesh
 

@@ -127,7 +127,7 @@ def main():
                     pl.BlockSpec((1, _wt, ih, iwe, c2),
                                  lambda bb, ii, jj: (bb, jj, ii, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, _wt, 128, n * gd),
+                    pl.BlockSpec((1, 1, _wt, 128, n * gd // g),
                                  lambda bb, ii, jj: (bb, ii, jj, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, _wt, 128, n * dv),
@@ -155,7 +155,7 @@ def main():
     # replaced noav/noexp/nonorm with noqk/nosum; an unknown flag would
     # silently time the full kernel while being reported as a stage floor.
     for dflag in ("", "nopool", "nocolpool", "norowblend", "norope", "noqk",
-                  "nomask", "nosum"):
+                  "nobias", "noexp", "nomask", "nosum"):
         def full(enc, keys, feats, rows_tab, cols_tab, _d=dflag):
             return _fused_q_impl(
                 enc, keys, feats, rows_tab, cols_tab, d,

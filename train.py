@@ -96,9 +96,41 @@ def main(argv):
         if synthetic
         else folder_images(cfg)
     )
-    params = train_upsampler(model, backbone, data, tcfg, params=params)
+    mesh = build_mesh(cfg.get("mesh", "auto"), tcfg.batch_size)
+    params = train_upsampler(model, backbone, data, tcfg, params=params,
+                             mesh=mesh)
     print(f"done; checkpoints + metrics in {tcfg.log_dir}")
     return params
+
+
+def build_mesh(mesh_cfg, batch_size):
+    """CLI data-parallel mesh selection.
+
+    mesh=auto (default): data-parallel over all devices when >1 device is
+    visible and the batch divides evenly; mesh=data: force DP over all
+    devices; mesh=none: single-device (the reference's semantics,
+    train.py:55,68 hard-codes one GPU). Batches are sharded along the data
+    axis by train_upsampler; params/opt state replicate.
+    """
+    if mesh_cfg in (None, False, "none", "off"):
+        return None
+    import jax
+
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    if batch_size % n:
+        if mesh_cfg == "data":
+            raise ValueError(
+                f"mesh=data needs batch_size % n_devices == 0 "
+                f"(batch {batch_size}, devices {n})"
+            )
+        return None  # auto: fall back to single-device
+    from naf_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=n, space=1)
+    print(f"data-parallel mesh over {n} devices")
+    return mesh
 
 
 if __name__ == "__main__":
