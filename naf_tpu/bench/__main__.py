@@ -40,7 +40,11 @@ def main():
         from naf_tpu.bench.harness import benchmark_large_img
 
         for size, ratio in ((896, 2), (1792, 4)):
-            rec = benchmark_large_img(size, ratio, out_path=args.out)
+            rec = benchmark_large_img(
+                size, ratio,
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                out_path=args.out,
+            )
             print(rec)
         return
 

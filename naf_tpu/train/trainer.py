@@ -68,37 +68,93 @@ def make_train_step(model, backbone_apply, tx, use_bf16: bool,
 
     def step(params, opt_state, image_ups, image_back, step_idx, lr_size,
              out_hw, crop_hw):
-        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-        step_rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
-
-        # frozen backbone targets (no_grad; train.py:123)
-        hr_feats = backbone_apply(image_back.astype(dtype))
-        lr_image = resize_bilinear(image_back, lr_size).astype(dtype)
-        lr_feats = backbone_apply(lr_image)
-        hr_feats = jax.lax.stop_gradient(hr_feats)
-        lr_feats = jax.lax.stop_gradient(lr_feats)
-
-        # model input image: min(224, 4 * hr_size) (train.py:126)
-        img_hr = resize_bilinear(image_ups, crop_hw).astype(dtype)
-
-        def forward(p_c, img_hr, lr_feats):
-            return model.apply(
-                {"params": p_c}, img_hr, lr_feats, out_hw, train=True,
-                rng=step_rng,
-            )
-
-        fwd = jax.checkpoint(forward) if use_checkpointing else forward
-
-        def loss_fn(p):
-            p_c = jax.tree.map(lambda a: a.astype(dtype), p)
-            return mse_loss(fwd(p_c, img_hr, lr_feats), hr_feats)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return _upsampler_step_core(
+            model, backbone_apply, tx, use_bf16, use_checkpointing, seed,
+            params, opt_state, image_ups, image_back, step_idx, lr_size,
+            out_hw, crop_hw,
+        )
 
     return jax.jit(step, static_argnames=("lr_size", "out_hw", "crop_hw"))
+
+
+def _upsampler_step_core(model, backbone_apply, tx, use_bf16,
+                         use_checkpointing, seed, params, opt_state,
+                         image_ups, image_back, step_idx, lr_size, out_hw,
+                         crop_hw):
+    """One distillation train step (traceable; shared by the per-step jit
+    and the scanned-dispatch chunk)."""
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    step_rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
+
+    # frozen backbone targets (no_grad; train.py:123)
+    hr_feats = backbone_apply(image_back.astype(dtype))
+    lr_image = resize_bilinear(image_back, lr_size).astype(dtype)
+    lr_feats = backbone_apply(lr_image)
+    hr_feats = jax.lax.stop_gradient(hr_feats)
+    lr_feats = jax.lax.stop_gradient(lr_feats)
+
+    # model input image: min(224, 4 * hr_size) (train.py:126)
+    img_hr = resize_bilinear(image_ups, crop_hw).astype(dtype)
+
+    def forward(p_c, img_hr, lr_feats):
+        return model.apply(
+            {"params": p_c}, img_hr, lr_feats, out_hw, train=True,
+            rng=step_rng,
+        )
+
+    fwd = jax.checkpoint(forward) if use_checkpointing else forward
+
+    def loss_fn(p):
+        p_c = jax.tree.map(lambda a: a.astype(dtype), p)
+        return mse_loss(fwd(p_c, img_hr, lr_feats), hr_feats)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def make_train_chunk(model, backbone_apply, tx, use_bf16: bool,
+                     use_checkpointing: bool = False, seed: int = 0,
+                     imagenet_stats=None, backbone_stats=None):
+    """K train steps in ONE dispatch: lax.scan over (K, B) batch indices
+    gathered from a device-resident image stack (naf_tpu/data/
+    device_cache.py). Through the device tunnel the per-step dispatch costs
+    ~0.5 s regardless of model size, so a 25k-step reference-budget run
+    (config/base.yaml:11-12) is only practical with chunked dispatch.
+
+    lr_size is static per chunk (scan bodies need uniform shapes), so the
+    random down_factor is resampled per CHUNK rather than per step — a
+    coarser draw of the same distribution (reference utils/training.py:
+    28-50 samples per step)."""
+    (im_mean, im_std) = imagenet_stats
+    (b_mean, b_std) = backbone_stats
+
+    def chunk(params, opt_state, stack, idx, step0, lr_size, out_hw,
+              crop_hw):
+        def body(carry, xs):
+            params, opt_state = carry
+            idx_b, i = xs
+            img = jnp.take(stack, idx_b, axis=0)
+            image_ups = (img - im_mean) / im_std
+            image_back = (img - b_mean) / b_std
+            params, opt_state, loss = _upsampler_step_core(
+                model, backbone_apply, tx, use_bf16, use_checkpointing,
+                seed, params, opt_state, image_ups, image_back, step0 + i,
+                lr_size, out_hw, crop_hw,
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            (idx, jnp.arange(idx.shape[0], dtype=jnp.int32)),
+        )
+        return params, opt_state, losses
+
+    return jax.jit(
+        chunk, donate_argnums=(0, 1),
+        static_argnames=("lr_size", "out_hw", "crop_hw"),
+    )
 
 
 def fold_step_key(seed: int, step: int) -> jax.Array:
@@ -147,16 +203,25 @@ def write_viz_panel(log_dir, step, image, hr_feats, lr_feats, pred):
 def train_upsampler(
     model,
     backbone,
-    data_iter: Iterator[np.ndarray],
+    data_iter: Optional[Iterator[np.ndarray]],
     cfg: TrainConfig,
     params=None,
     mesh=None,
+    device_stack=None,
 ):
     """Train `model` against frozen `backbone` on images from `data_iter`
     (NHWC float [0,1], shape (B, img_size, img_size, 3)). Returns params.
 
     `mesh`: optional jax Mesh with a `cfg.data_axis` axis for DP; params are
     replicated, batches sharded along it.
+
+    `device_stack`: optional (N, img_size, img_size, 3) float32 [0,1] stack
+    resident on device (naf_tpu.data.device_cached_stack): training then
+    runs `log_every` steps per dispatch via lax.scan with on-device batch
+    gathers — through the device tunnel the per-step dispatch (~0.5 s)
+    otherwise dominates, making the reference's 25k-step budget
+    (config/base.yaml:11-12) impractical. lr_size is resampled per chunk
+    (see make_train_chunk). Mutually exclusive with `mesh`.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -195,6 +260,78 @@ def train_upsampler(
     ps = backbone.patch_size
     losses = []
     t0 = time.time()
+
+    if device_stack is not None:
+        if mesh is not None:
+            raise ValueError("device_stack and mesh are mutually exclusive")
+        chunk_fn = make_train_chunk(
+            model, backbone, tx, cfg.use_bf16, cfg.use_checkpointing,
+            seed=cfg.seed,
+            imagenet_stats=(jnp.asarray(imagenet_mean), jnp.asarray(imagenet_std)),
+            backbone_stats=(jnp.asarray(bmean), jnp.asarray(bstd)),
+        )
+        n = int(device_stack.shape[0])
+        img_hw = tuple(int(v) for v in device_stack.shape[1:3])
+        hr_hw = (img_hw[0] // ps, img_hw[1] // ps)
+        crop_hw = tuple(min(224, 4 * v) for v in hr_hw)
+
+        def idx_stream():
+            order = np.arange(n)
+            while True:
+                if cfg.batch_size > n:
+                    yield rng.randint(0, n, size=cfg.batch_size)
+                    continue
+                rng.shuffle(order)
+                for i in range(0, n - cfg.batch_size + 1, cfg.batch_size):
+                    yield order[i : i + cfg.batch_size]
+
+        stream = idx_stream()
+        done = 0
+        with open(metrics_path, "a") as mf:
+            while done < cfg.train_steps:
+                k = min(max(cfg.log_every, 1), cfg.train_steps - done)
+                idx = np.stack([next(stream) for _ in range(k)])
+                lr_size = sample_lr_size(img_hw, ps, cfg.down_factor, rng)
+                params, opt_state, chunk_losses = chunk_fn(
+                    params, opt_state, device_stack,
+                    jnp.asarray(idx, jnp.int32), jnp.int32(done),
+                    lr_size, hr_hw, crop_hw,
+                )
+                done += k
+                loss_v = float(chunk_losses[-1])
+                losses.append(loss_v)
+                rec = {
+                    "step": done - 1,
+                    "loss": loss_v,
+                    "lr_size": list(lr_size),
+                    "elapsed_s": round(time.time() - t0, 1),
+                }
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                print(f"step {done}/{cfg.train_steps} loss {loss_v:.5f}",
+                      flush=True)
+                if viz_fn is not None and (
+                    done % max(viz_every, 1) < k or done >= cfg.train_steps
+                ):
+                    try:
+                        img = jnp.take(
+                            device_stack,
+                            jnp.asarray(idx[-1], jnp.int32), axis=0,
+                        )
+                        hr_f, lr_f, pred = viz_fn(
+                            params,
+                            (img - imagenet_mean) / imagenet_std,
+                            (img - bmean) / bstd,
+                            lr_size, hr_hw, crop_hw,
+                        )
+                        write_viz_panel(
+                            log_dir, done, np.asarray(img), hr_f, lr_f, pred
+                        )
+                    except Exception as e:  # viz must never kill a run
+                        print(f"viz panel failed at step {done}: {e}")
+                if done % ckpt_every < k or done >= cfg.train_steps:
+                    save_checkpoint(log_dir, done, params, opt_state)
+        return params
 
     with open(metrics_path, "a") as mf:
         for step in range(cfg.train_steps):

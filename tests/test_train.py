@@ -98,6 +98,41 @@ def test_train_step_resamples_rope_augmentation():
     assert float(loss0) == float(loss0b), "step key not deterministic"
 
 
+def test_train_chunked_dispatch_matches_per_step(tmp_path):
+    """The scanned-dispatch path (device_stack: log_every steps per
+    dispatch via lax.scan, the tunnel-latency workaround for 25k-step
+    reference-budget runs) must reproduce the per-step loop exactly when
+    the schedule is deterministic (one image, fixed down_factor — same
+    step-index RoPE keys, same batches)."""
+    backbone = PretrainedViTWrapper(
+        "vit_small_patch14_dinov2.lvd142m", num_heads=2
+    )
+    model = NAF(dim=32, heads_attn=2, heads_rope=2, kernel_size=5,
+                img_layers=1, na_impl="xla")
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 224, 224, 3).astype(np.float32)
+
+    def cfg(name):
+        return TrainConfig(
+            train_steps=3, img_size=224, batch_size=1, use_bf16=False,
+            down_factor="fixed", log_every=2, ckpt_every=100,
+            log_dir=str(tmp_path / name), lr=1e-3, seed=0, viz_every=0,
+        )
+
+    def per_step():
+        while True:
+            yield img
+
+    p_ref = train_upsampler(model, backbone, per_step(), cfg("step"))
+    stack = jnp.asarray(img)
+    p_chunk = train_upsampler(
+        model, backbone, None, cfg("chunk"), device_stack=stack
+    )
+    a = np.asarray(jax.tree.leaves(p_ref)[0], np.float32)
+    b = np.asarray(jax.tree.leaves(p_chunk)[0], np.float32)
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-4)
+
+
 def test_train_viz_panel_written(tmp_path):
     """Qualitative PCA panels land next to metrics.jsonl during training
     (reference logs TB image panels; here PNGs, utils/visualization.py)."""
