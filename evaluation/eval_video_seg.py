@@ -24,7 +24,7 @@ from naf_tpu.config import instantiate, load_config
 from naf_tpu.evals.video_seg_runner import evaluate_davis_results, run_video
 
 
-def main(argv):
+def main(argv, model_params=None):
     overrides = [a for a in argv if "=" in a]
     cfg = load_config("eval_video_seg", overrides)
     davis_root = cfg["dataset"]["root"]
@@ -38,7 +38,9 @@ def main(argv):
     dummy_feat = jnp.zeros((1, gh, gh, backbone.embed_dim), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), dummy_img, dummy_feat, (224, 224))
     params = variables.get("params", {})
-    if cfg["eval"].get("model_ckpt"):
+    if model_params is not None:  # trained-weight injection (distill eval)
+        params = model_params
+    elif cfg["eval"].get("model_ckpt"):
         from naf_tpu.convert import naf_params_from_torch
 
         params = jax.tree.map(

@@ -120,6 +120,34 @@ def build_seg(photos, labels):
                 )
 
 
+def extend_training(photos, labels, n_extra_per: int, seed: int = SEED + 1):
+    """APPEND extra training crops (seed offset so the existing 18 train
+    and 9 val files stay bit-identical — the committed eval baselines in
+    benchmarks/real_eval.json reference the original validation split).
+    Used for the reference-budget distillation run (25k steps need more
+    than 18 images' worth of crop diversity)."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(ROOT, "ade20k", "images", "training")
+    ann_dir = os.path.join(ROOT, "ade20k", "annotations", "training")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    made = 0
+    for name, rgb in photos.items():
+        lbl = labels[name]
+        for i, (y, x) in enumerate(
+            crops(rgb.shape[0], rgb.shape[1], n_extra_per, rng)
+        ):
+            stem = f"{name}_extra_{i:03d}"
+            Image.fromarray(rgb[y : y + CROP, x : x + CROP]).save(
+                os.path.join(img_dir, stem + ".jpg"), quality=95
+            )
+            Image.fromarray(lbl[y : y + CROP, x : x + CROP]).save(
+                os.path.join(ann_dir, stem + ".png")
+            )
+            made += 1
+    print(f"appended {made} extra training crops")
+
+
 def build_davis(photos, labels):
     """Two 8-frame 'videos': a crop window translating across the photo.
 
@@ -157,15 +185,18 @@ def build_davis(photos, labels):
         f.write("\n".join(videos) + "\n")
 
 
-def main():
+def main(argv=()):
     photos = load_photos()
     print({k: v.shape for k, v in photos.items()})
     labels = {k: procedural_labels(v) for k, v in photos.items()}
-    build_seg(photos, labels)
-    build_davis(photos, labels)
+    if argv and argv[0] == "--extend-train":
+        extend_training(photos, labels, int(argv[1]) if len(argv) > 1 else 14)
+    else:
+        build_seg(photos, labels)
+        build_davis(photos, labels)
     n_files = sum(len(fs) for _, _, fs in os.walk(ROOT))
     print(f"shard at {ROOT}: {n_files} files")
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1:]))

@@ -51,26 +51,32 @@ def main(argv=()):
     jax.config.update("jax_compilation_cache_dir", "/tmp/naf_tpu_jax_cache")
 
     from naf_tpu.backbones import PretrainedViTWrapper
-    from naf_tpu.data import ImageFolderDataset, device_cached_batches
+    from naf_tpu.data import ImageFolderDataset
     from naf_tpu.data.transforms import image_transform
     from naf_tpu.models.naf import NAF
     from naf_tpu.train.trainer import TrainConfig, train_upsampler
 
-    steps = int(argv[0]) if argv else 3000
+    from naf_tpu.data.device_cache import device_cached_stack
+
+    steps = int(argv[0]) if argv else 25_000  # reference budget
+    run_davis = "--no-davis" not in argv
     img_size = 256
 
     # 1. the probe's backbone (random init, seed 0 — identical construction)
     backbone = PretrainedViTWrapper("vit_small_patch16_224")
     model = NAF()
 
-    # 2. real-photograph batches (18 shard training images), cached on
-    # device once — per-step batches are device-side index gathers
-    # (naf_tpu/data/device_cache.py)
+    # 2. real-photograph training crops (60 after --extend-train), resident
+    # on device once; training runs log_every steps per dispatch via
+    # lax.scan (train_upsampler device_stack path) — per-step dispatch
+    # costs ~0.5 s through the tunnel, so the reference's 25k-step budget
+    # (config/base.yaml:11-12) needs chunked dispatch.
     ds = ImageFolderDataset(
         os.path.join(SHARD, "ade20k", "images", "training"),
         transform=lambda im: image_transform(im, img_size),
     )
-    images = lambda: device_cached_batches(ds, batch_size=4, shuffle=True)
+    stack = device_cached_stack(ds)
+    print(f"device stack: {stack.shape}", flush=True)
 
     cfg = TrainConfig(
         train_steps=steps,
@@ -78,9 +84,9 @@ def main(argv=()):
         batch_size=4,
         down_factor="random",
         log_dir=os.path.join(REPO, "runs", "distill_naf"),
-        log_every=50,
+        log_every=100,
     )
-    params = train_upsampler(model, backbone, images(), cfg)
+    params = train_upsampler(model, backbone, None, cfg, device_stack=stack)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
 
     # 3. the committed probe protocol, trained params injected
@@ -102,6 +108,31 @@ def main(argv=()):
     if base is not None:
         print(f"bilinear IoU {base:.4f} -> distilled NAF IoU "
               f"{metrics['iou']:.4f} ({'BEATS' if metrics['iou'] > base else 'below'})")
+
+    # 4. DAVIS propagation with the distilled weights (committed protocol,
+    # eval_real_shard.py::run_video arguments)
+    if run_davis:
+        import eval_video_seg
+
+        print("== DAVIS propagation: distilled naf ==", flush=True)
+        jf = eval_video_seg.main(
+            [
+                "model=naf",
+                f"dataroot={SHARD}",
+                f"dataset.root={os.path.join(SHARD, 'davis')}",
+                "eval.ups_factor=2",
+                "backbone.name=vit_small_patch16_224",
+                "run_dir=/tmp/naf_real_shard_runs_distilled",
+            ],
+            model_params=params,
+        )
+        jf["train_steps"] = steps
+        with open(OUT) as f:
+            results = json.load(f)
+        results["davis_jf_naf_distilled"] = jf
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(jf, indent=2))
 
 
 if __name__ == "__main__":
