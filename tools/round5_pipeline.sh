@@ -8,6 +8,11 @@
 set -x
 cd /root/repo
 
+# A0. North-star baseline + fused-q geometry sweep (kernel tuning evidence;
+# a winning point gets promoted into pick_geometry afterwards)
+timeout 1200 python tools/north_star.py
+timeout 2400 python tools/fusedq_geom_sweep.py --quick
+
 # A1. TPU numerics artifact for the round-5 kernel state
 timeout 2400 python tools/tpu_kernel_check.py
 
@@ -23,6 +28,11 @@ timeout 3600 python -m naf_tpu.bench --lr-size
 # longer chain now; JAFAR r2 bf16, Nearest r4 bf16, Bilinear/Nearest f32)
 timeout 1800 python -m naf_tpu.bench --ratio --models JAFAR Nearest --values 2 4 --bf16
 timeout 1800 python -m naf_tpu.bench --ratio --models Bilinear Nearest --values 2 4
+
+# A4b. re-measure the NAF f32 r32 backward cliff row (VERDICT weak #3:
+# 3,092 ms previously; components measured fast in isolation, so the row
+# may be a crashed-compile retry artifact — fresh-process re-measure)
+timeout 2400 python -m naf_tpu.bench --ratio --models NAF --values 32
 
 # A5. device-measured peak memory, one (filler, execute) trial per process
 timeout 5400 python tools/measure_mem.py
