@@ -34,6 +34,12 @@ timeout 1800 python -m naf_tpu.bench --ratio --models Bilinear Nearest --values 
 # may be a crashed-compile retry artifact — fresh-process re-measure)
 timeout 2400 python -m naf_tpu.bench --ratio --models NAF --values 32
 
+# A4c. clear the remote-compile bwd_error rows (HTTP 500 transport flakes
+# archived as failures: AnyUp f32 r8/16/32, FeatUp img_size bf16) and the
+# JAFAR img_size bwd<fwd row
+timeout 3600 python -m naf_tpu.bench --ratio --models AnyUp --values 8 16 32
+timeout 2400 python -m naf_tpu.bench --img-size --models FeatUp JAFAR --bf16
+
 # A5. device-measured peak memory, one (filler, execute) trial per process
 timeout 5400 python tools/measure_mem.py
 
