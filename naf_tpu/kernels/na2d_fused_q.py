@@ -182,8 +182,9 @@ def _build_tiles_q(k_scaled, v, g, bc_h, bc_w, kernel, cell0=0, n_cells=None,
     k_scaled: (b, hk, wk, n, d) with softmax scale folded in.
     idx: optional precomputed (traced) cell-index table — used by the
       spatially-sharded path, where the band origin is dynamic per device.
-    Returns k2 (b, nCH, nCW, 128, n*d) RAW per-head cell rows and
-    vt (b, nCH, nCW, 128, n*dv) raw cell rows. The per-head block-diag QK
+    Returns ONE combined (b, nCH, nCW, 128, n*d + n*dv) tile: RAW per-head
+    K cell rows in lanes [0, n*d) and raw V cell rows in lanes [n*d, end);
+    the kernel slices the two ranges in VMEM. The per-head block-diag QK
     operand (head j of a group occupying lanes [j*d, (j+1)*d) of a g*d
     block, zeros elsewhere) is expanded IN-KERNEL on the MXU via a 0/1
     diagonal matmul — gathering pre-expanded tiles shipped g x the K bytes
@@ -197,20 +198,24 @@ def _build_tiles_q(k_scaled, v, g, bc_h, bc_w, kernel, cell0=0, n_cells=None,
             _cell_index_table(hk, wk, bc_h, bc_w, kernel, cell0, n_cells)
         )
 
-    ksrc = jnp.pad(
-        k_scaled.reshape(b, hk * wk, n * d), ((0, 0), (0, 1), (0, 0))
+    # ONE gather for K and V together: the take's cost is per-row-overhead
+    # dominated at these row sizes (CLAUDE.md: fine-grained XLA gathers run
+    # far below the moved bytes), so gathering one (n*d + n*dv)-lane row
+    # beats two takes of n*d- and n*dv-lane rows from the same index table.
+    # The kernel slices the two lane ranges out of the combined tile in VMEM.
+    src = jnp.pad(
+        jnp.concatenate(
+            [k_scaled.reshape(b, hk * wk, n * d),
+             v.reshape(b, hk * wk, n * dv)], axis=-1,
+        ),
+        ((0, 0), (0, 1), (0, 0)),
     )
-    k2 = jnp.take(ksrc, idx, axis=1)  # (b, nCH, nCW, 128, n*d)
-
-    vsrc = jnp.pad(v.reshape(b, hk * wk, n * dv), ((0, 0), (0, 1), (0, 0)))
-    vt = jnp.take(vsrc, idx, axis=1)  # (b, nCH, nCW, 128, n*dv)
-    return k2, vt
+    return jnp.take(src, idx, axis=1)  # (b, nCH, nCW, 128, n*(d + dv))
 
 
 def _kernel(
     enc_ref,   # (1, ih|bh, iwe|bw, C) VMEM encoder tile (Element blocks)
-    k2_ref,    # (1, 1, 1, 128, n*dp) VMEM raw K union tile (cells x heads)
-    v_ref,     # (1, 1, 1, 128, n*dv) VMEM V union tile
+    kv_ref,    # (1, 1, 1, 128, n*dp + n*dv) VMEM combined K|V union tile
     rows_ref,  # (bh, 2C) VMEM row cos|sin table slice
     cols_ref,  # (bw, 2C) VMEM col cos|sin table slice
     o_ref,     # (1, bh, bw, n*dv) VMEM output tile
@@ -251,7 +256,7 @@ def _kernel(
     bw = bc_w * r_w
     c_dim = rows_ref.shape[1] // 2
     gd = g * (c_dim // n)
-    dv = v_ref.shape[-1] // n
+    dv = (kv_ref.shape[-1] - c_dim) // n
     nc_pad = 128
 
     dtype = o_ref.dtype
@@ -298,15 +303,22 @@ def _kernel(
         cell_w = cj0 + j_loc // r_w
         ws_w = jnp.clip(cell_w - nh, 0, wk - kk) - col0
         ok_w = (s_idx >= ws_w) & (s_idx < ws_w + kk)  # (cq, nc_pad)
+        bias_w = jnp.where(ok_w, 0.0, -1e30).astype(jnp.float32)
         cell_w_t = cj0 + j_loc_t // r_w
         ws_w_t = jnp.clip(cell_w_t - nh, 0, wk - kk) - col0  # (1, cq)
         ok_w_t = (s_idx_t >= ws_w_t) & (s_idx_t < ws_w_t + kk)
+        # Column-window bias, chunk-invariant: built ONCE per column tile so
+        # the per-chunk mask work shrinks to a broadcast add of the
+        # (nc_pad, 1) row-window column (the full (nc_pad, cq) compare/
+        # select chain per chunk was ~half the mask/bias VPU stage).
+        bias_w_t = jnp.where(ok_w_t, 0.0, -1e30).astype(jnp.float32)
 
         cols_t = cols_ref[pl.ds(tt * bw, bw)]
         cos_c3 = cols_t[:, :c_dim][None]  # (1, bw, C)
         sin_c3 = cols_t[:, c_dim:][None]
-        k2_t = k2_ref[0, 0, tt]  # (128, n*dp) RAW per-head cell rows
-        v_t = v_ref[0, 0, tt]    # (128, n*dv)
+        kv_t = kv_ref[0, 0, tt]   # (128, n*dp + n*dv) combined K|V rows
+        k2_t = kv_t[:, :c_dim]    # (128, n*dp) RAW per-head cell rows
+        v_t = kv_t[:, c_dim:]     # (128, n*dv)
         dp = c_dim // n
         if g == 1:
             # raw == block-diag when each head already fills its gd lanes
@@ -450,6 +462,8 @@ def _kernel(
                 # log2(e) into the K scale so exp2 here IS the natural-base
                 # softmax (base-invariant under that rescale).
                 if chunk_rows <= r_h:
+                    # one cell row per chunk: ws_h is a scalar, ok_h_t a
+                    # (nc_pad, 1) column — the bias add below broadcasts it
                     cell_h0 = ci0 + (o0 // r_h)
                     ws_h = jnp.clip(cell_h0 - nh, 0, hk - kk) - row0
                     ok_h_t = (t_idx_t >= ws_h) & (t_idx_t < ws_h + kk)
@@ -463,9 +477,9 @@ def _kernel(
                 # ones-column sum dot pads N to 128 lanes (a full AV-matmul
                 # cost per head), and even the M=1 ones-row variant plus
                 # bf16 normalize was net slower than this VPU formulation.
-                bias_t = jnp.where(
-                    ok_h_t & ok_w_t, 0.0, -1e30
-                ).astype(jnp.float32)  # (nc_pad, cq)
+                bias_t = bias_w_t + jnp.where(
+                    ok_h_t, 0.0, -1e30
+                ).astype(jnp.float32)  # (nc_pad, cq); -2e30 masks like -1e30
                 if diag == "nomask":
                     bias_t = jnp.zeros_like(bias_t)
                 lts = []
@@ -531,7 +545,7 @@ def _kernel(
                 cell_h = ci0 + (o0 + i_loc) // r_h
                 ws_h = jnp.clip(cell_h - nh, 0, hk - kk) - row0
                 ok_h = (t_idx >= ws_h) & (t_idx < ws_h + kk)
-            bias = jnp.where(ok_h & ok_w, 0.0, -1e30).astype(jnp.float32)
+            bias = bias_w + jnp.where(ok_h, 0.0, -1e30).astype(jnp.float32)
             if diag == "nomask":
                 bias = jnp.zeros_like(bias)
 
@@ -862,7 +876,7 @@ def _fused_q_impl(
     blk_off = row_cell0 // bc_h
     out_h = band_cells * r_h
 
-    k2, vt = _build_tiles_q(
+    kv = _build_tiles_q(
         k_scaled, values.reshape(b, hk, wk, n, dv).astype(dtype),
         g, bc_h, bc_w, kk, row_cell0, band_cells, idx=idx_table,
     )
@@ -982,13 +996,13 @@ def _fused_q_impl(
             c0_r = refs[n_c0]
             refs = refs[:n_c0] + refs[n_c0 + 1 :]
         if pool_identity:
-            enc_r, k2_r, v_r, rows_r, cols_r, o_r = refs
+            enc_r, kv_r, rows_r, cols_r, o_r = refs
             xc_r = xup_r = pcol_r = None
         else:
-            (enc_r, k2_r, v_r, rows_r, cols_r, pcol_r, o_r,
+            (enc_r, kv_r, rows_r, cols_r, pcol_r, o_r,
              xc_r, xup_r) = refs
         _kernel(
-            enc_r, k2_r, v_r, rows_r, cols_r, o_r, xc_r, xup_r,
+            enc_r, kv_r, rows_r, cols_r, o_r, xc_r, xup_r,
             pcol_r,
             kernel_size=kk, num_heads=n, group=g, r_h=r_h, r_w=r_w,
             bc_h=bc_h, bc_w=bc_w, hk=hk, wk=wk, chunk_rows=chunk_rows,
@@ -999,12 +1013,13 @@ def _fused_q_impl(
 
     in_specs = [
         enc_spec,
-        tile_spec(n * gd // g),  # RAW K cell rows (dp lanes per head)
-        tile_spec(n * dv),
+        # combined K|V union tile: RAW K cell rows (dp lanes per head) then
+        # raw V cell rows — one gather, one input stream
+        tile_spec(n * (gd // g) + n * dv),
         rows_spec,
         cols_spec,
     ]
-    inputs = [enc, k2, vt, rows_tab.astype(dtype), cols_tab.astype(dtype)]
+    inputs = [enc, kv, rows_tab.astype(dtype), cols_tab.astype(dtype)]
     if not pool_identity:
         in_specs.append(
             pl.BlockSpec((bw, iwe), lambda bb, ii, jj: (0, 0),
