@@ -64,16 +64,18 @@ def run_stage(stage: str) -> None:
 
     feats = jnp.asarray(rng.randn(1, 28, 28, 768), dtype)
     if stage == "attention":
-        bound = model.bind({"params": params})
-
-        def attn(im, ft):
+        # Bind INSIDE the traced function: a module bound outside and reused
+        # across traces caches RoPE tables from the first trace in setup()
+        # and leaks those tracers into the next (UnexpectedTracerError).
+        def attn(p, im, ft):
+            bound = model.bind({"params": p})
             x = bound.image_encoder(im, (size, size))
             from naf_tpu.ops.pool import adaptive_avg_pool2d
 
             keys = adaptive_avg_pool2d(x, ft.shape[1:3])
             return bound.upsampler(x, keys, ft)
 
-        ms = device_time_ms(attn, image, feats, iters=2)
+        ms = device_time_ms(attn, params, image, feats, iters=2)
         print(json.dumps({"stage": stage, "ms": round(ms, 2)}))
         return
 
