@@ -33,6 +33,7 @@ Run: python tools/measure_mem.py   (on the real TPU)
 """
 
 import json
+import os
 import subprocess
 import sys
 
@@ -145,28 +146,12 @@ def bisect_peak_mb(name, img, embed, lr, out, direction) -> float:
     return float(HBM_TOTAL_MB - lo)
 
 
-def main():
-    """Parent orchestrator: drives one bisection per (config, direction),
-    each trial in a fresh subprocess."""
-    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                         capture_output=True, text=True).stdout.strip()
-    out = {"_method": METHOD, "_measured_at": rev}
-    for name, img, embed, lr, osz in CONFIGS:
-        row = {}
-        for direction in ("fwd", "bwd"):
-            try:
-                peak = bisect_peak_mb(name, img, embed, lr, osz, direction)
-                row[f"{direction}_peak_mb"] = round(peak, 1)
-            except RuntimeError as e:
-                row[f"{direction}_error"] = str(e)[-200:]
-        out[f"{name}_{img}_{embed}_{lr}_{osz}"] = row
-        print(name, img, "->", osz, row, flush=True)
-
-    # merge onto results.json rows
+def _merge_results(out, rev):
+    """Merge measured peaks onto matching benchmarks/results.json rows."""
     path = "benchmarks/results.json"
     rows = json.load(open(path))
     for name, img, embed, lr, osz in CONFIGS:
-        r = out[f"{name}_{img}_{embed}_{lr}_{osz}"]
+        r = out.get(f"{name}_{img}_{embed}_{lr}_{osz}", {})
         if "fwd_peak_mb" not in r:
             continue
         for row in rows:
@@ -181,8 +166,38 @@ def main():
                 row["mem_measured_at"] = rev
     with open(path, "w") as f:
         json.dump(rows, f, indent=1)
-    with open("benchmarks/measured_mem.json", "w") as f:
-        json.dump(out, f, indent=1)
+
+
+def main(only=()):
+    """Parent orchestrator: drives one bisection per (config, direction),
+    each trial in a fresh subprocess. `only` (substring filters on the
+    config key, e.g. "JAFAR" or "448_384_28_896") restricts the queue so an
+    interrupted run can resume. measured_mem.json is merged + rewritten
+    after EVERY config so an interrupt never loses finished bisections."""
+    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True).stdout.strip()
+    mm_path = "benchmarks/measured_mem.json"
+    out = {}
+    if os.path.exists(mm_path):
+        out = json.load(open(mm_path))
+    out["_method"] = METHOD
+    out["_measured_at"] = rev
+    for name, img, embed, lr, osz in CONFIGS:
+        key = f"{name}_{img}_{embed}_{lr}_{osz}"
+        if only and not any(f in key for f in only):
+            continue
+        row = {}
+        for direction in ("fwd", "bwd"):
+            try:
+                peak = bisect_peak_mb(name, img, embed, lr, osz, direction)
+                row[f"{direction}_peak_mb"] = round(peak, 1)
+            except RuntimeError as e:
+                row[f"{direction}_error"] = str(e)[-200:]
+        out[key] = row
+        print(name, img, "->", osz, row, flush=True)
+        with open(mm_path, "w") as f:
+            json.dump(out, f, indent=1)
+        _merge_results(out, rev)
     print(json.dumps(out, indent=1))
 
 
@@ -193,4 +208,4 @@ if __name__ == "__main__":
                     direction, int(filler_mb))
         print(json.dumps({"ok": ok}))
     else:
-        main()
+        main(tuple(sys.argv[1:]))
