@@ -605,7 +605,16 @@ def _pick_w_tiles(n_cw, bh, bw, c, dv, n, gd, ih, iwe, pool_identity,
     tt-fold (per-program fixed cost dominated ~20% of the 448^2->2048^2
     kernel time at 2048 programs) and doubles the K/V DMA granularity. The
     budget models Pallas's double-buffered in/out blocks plus the scratch
-    and the f32 logits/AV values live during the per-head loop."""
+    and the f32 logits/AV values live during the per-head loop.
+
+    When the wt=1 output tile is already DMA-sized (>= 1 MB), merging only
+    adds VMEM pressure: the round-5 geometry sweep at 448^2 -> 2048^2 r16
+    bf16 (tools/fusedq_geom_sweep.py, 1.5 MB tiles) measured wt=1 at
+    10.56 ms vs wt=2 at 10.67 ms and wt=4 failing to compile — the
+    per-program fixed cost that merging amortized is gone since the
+    transposed-softmax rewrite."""
+    if bh * bw * n * dv * itemsize >= 2**20:
+        return 1
     live_f32 = (n + 2) * _CHUNK_Q_BUDGET * 128 * 4
     for wt in (4, 2, 1):
         if n_cw % wt:
