@@ -245,3 +245,24 @@ def test_fused_q_bf16_matches_f32_oracle():
             np.linalg.norm(got) * np.linalg.norm(want)
         )
         assert cos > 0.9995, cos
+
+
+def test_pick_w_tiles_skips_merge_for_dma_sized_tiles():
+    """Column-tile merging is only worth its VMEM cost when wt=1 output
+    tiles are small: at the north-star geometry (bh 32 x bw 64 x 384ch
+    bf16 = 1.5 MB) the sweep measured wt=1 fastest (10.56 vs 10.67 ms) and
+    wt=4 failing to compile, so the picker must return 1 there while still
+    merging genuinely tiny-tile configs."""
+    from naf_tpu.kernels.na2d_fused_q import _pick_w_tiles
+
+    # north-star config: 448^2 -> 2048^2 r16 bf16, geom (2, 4)
+    wt = _pick_w_tiles(n_cw=32, bh=32, bw=64, c=256, dv=96, n=4, gd=64,
+                       ih=7, iwe=14, pool_identity=False, itemsize=2,
+                       rot_in_kernel=True)
+    assert wt == 1
+
+    # small-tile config (56x8x4x8x2 = 28 KB output tile): merging allowed
+    wt_small = _pick_w_tiles(n_cw=4, bh=56, bw=8, c=128, dv=8, n=4, gd=32,
+                             ih=7, iwe=8, pool_identity=True, itemsize=2,
+                             rot_in_kernel=False)
+    assert wt_small >= 2
