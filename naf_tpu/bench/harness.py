@@ -232,12 +232,19 @@ def _is_retryable(e: Exception) -> bool:
 
 def benchmark_large_img(
     img_size: int, ratio: int, dtype=jnp.bfloat16, iters: int = 6,
-    out_path: str = "benchmarks/results.json",
+    out_path: str = "benchmarks/results.json", split_programs: bool = False,
 ) -> Dict:
     """End-to-end backbone+NAF forward (reference "LargeImg" rows,
     test/test_results.json:553-579: ViT-B backbone + NAF at 896^2/r2 and
     1792^2/r4; A100 measures 110.05 / 1035.68 ms). The backbone is a
-    random-init ViT-B/16 (weights don't change the timing)."""
+    random-init ViT-B/16 (weights don't change the timing).
+
+    split_programs: time backbone and NAF as TWO jit programs and sum —
+    the semantics the torch-eager reference actually measures (separate
+    module calls, no cross-model fusion). Needed at 1792^2, where the
+    single fused XLA program crashes the v5e worker in bf16 and exceeds
+    HBM at compile time in f32 (16.26 GB > 15.75 GB; the reference ran on
+    a 40 GB A100) while each half runs fine."""
     from naf_tpu.api import load_naf_params
     from naf_tpu.backbones import PretrainedViTWrapper
 
@@ -248,11 +255,14 @@ def benchmark_large_img(
         jax.random.PRNGKey(0), (1, img_size, img_size, 3), dtype
     )
 
-    def fwd(params, bparams, image):
+    def backbone(bparams, image):
         small = jax.image.resize(
             image, (1, img_size // ratio, img_size // ratio, 3), "linear"
         )
-        feats = bb.model.apply({"params": bparams}, small)
+        return bb.model.apply({"params": bparams}, small)
+
+    def fwd(params, bparams, image):
+        feats = backbone(bparams, image)
         return model.apply(
             {"params": params}, image, feats, (img_size, img_size)
         )
@@ -262,9 +272,37 @@ def benchmark_large_img(
         "ratio": ratio, "embed_dim": bb.embed_dim, "dtype": jnp.dtype(dtype).name,
         "lr_size": (img_size // ratio) // 16,
     }
-    rec["fwd_ms"] = round(
-        device_time_ms(fwd, params, bb.params, image, iters=iters), 3
-    )
+    try:
+        if split_programs:
+            ms_bb = device_time_ms(backbone, bb.params, image, iters=iters)
+            feats = jax.jit(backbone)(bb.params, image)
+
+            def naf_only(params, image, feats):
+                return model.apply(
+                    {"params": params}, image, feats, (img_size, img_size)
+                )
+
+            ms_naf = device_time_ms(naf_only, params, image, feats,
+                                    iters=iters)
+            rec["fwd_ms"] = round(ms_bb + ms_naf, 3)
+            rec["fwd_ms_backbone"] = round(ms_bb, 3)
+            rec["fwd_ms_naf"] = round(ms_naf, 3)
+            rec["timing"] = "two_program_sum"
+        else:
+            rec["fwd_ms"] = round(
+                device_time_ms(fwd, params, bb.params, image, iters=iters), 3
+            )
+    except Exception as e:  # structured skip, parity with run_sweep rows
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg \
+                or "hbm" in msg:
+            rec["skip"] = (
+                f"exceeds one v5e's 16 GB HBM at {img_size}^2 "
+                f"{jnp.dtype(dtype).name} (reference ran on an A100-40GB): "
+                + msg[:160]
+            )
+        else:
+            rec["fwd_error"] = msg[:300]
     existing = []
     if os.path.exists(out_path):
         with open(out_path) as f:
